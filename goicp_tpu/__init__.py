@@ -1,0 +1,30 @@
+"""goicp_tpu — a TPU-native globally-optimal point-cloud registration engine.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of
+guillaumebaldi/Go-ICP-protein-cavities (Go-ICP branch-and-bound over SE(3),
+protein-cavity chemistry-aware error terms, BO1 sweep + RMSD evaluation).
+
+Design, not translation:
+  * priority-queue BnB        -> batched array frontiers (sort/prune/compact)
+  * per-point DT lookup loops -> vectorized gathers over (cubes x points)
+  * kd-tree ICP               -> brute-force MXU distance matmul + top_k trim
+  * approximate vector EDT    -> exact separable EDT + nearest-seed fields
+  * per-translation memo maps -> precomputed per-(voxel, point) chem tables
+  * no parallelism            -> jax.sharding Mesh: pair-level DP + rotation
+                                 subtree sharding with collectives
+
+Layer map (mirrors SURVEY.md section 7.1):
+  io/       mol2 / xyz / cfpfh / tsv parsing and output writers (host side)
+  geom/     normalization, Rodrigues, transforms, rescale identity, RMSD
+  chem/     properties, compatibility, neighbor counts/weights, cFPFH
+  grid/     exact 3D EDT distance field + nearest-occupied-cell feature fields
+  bounds/   batched (cubes x points) lower/upper bound evaluation kernels
+  icp/      batched trimmed ICP with Kabsch/SVD updates (lax.while_loop)
+  search/   array-frontier outer (rotation) and inner (translation) BnB
+  dist/     device-mesh sharding: pair DP, subtree sharding, collectives
+  pipeline/ single-pair runner, BO1 sweep, demo harness
+"""
+
+__version__ = "0.1.0"
+
+from goicp_tpu.config import GoICPConfig  # noqa: F401

@@ -1,0 +1,100 @@
+"""Configuration for the Go-ICP TPU engine.
+
+Keeps the reference's config keys with identical names and defaults so a
+reference `config.txt` drives a parity run unchanged
+(reference: jly_main.cpp:231-270, ConfigMap.cpp, config.txt).
+
+Extra keys (absent from the reference) control the TPU search shape: batch
+sizes, frontier capacities, iteration caps.  They only affect speed / pruning
+efficiency, never epsilon-optimality: lower bounds of nodes dropped by
+capacity are folded back into the reported bound (see search/inner.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+
+
+@dataclasses.dataclass
+class GoICPConfig:
+    # ---- reference keys (config.txt:1-54) ----
+    MSEThresh: float = 0.01
+    norm: int = 2                    # 1 = L1, 2 = L2
+    regularization: float = 0.0005   # chem incompatibility weight
+    regularizationNeighbors: float = 0.0
+    ponderation: int = 1             # 1 = weight points by 1 + 2*minN/neighbors
+    cfpfh: int = 0                   # 0 off, 1 = bins 0..40, 2 = 0..32, 3 = 33..40
+    regularizationFPFH: float = 0.0
+    rotMinX: float = -3.1416
+    rotMinY: float = -3.1416
+    rotMinZ: float = -3.1416
+    rotWidth: float = 6.2832
+    transMinX: float = -0.5
+    transMinY: float = -0.5
+    transMinZ: float = -0.5
+    transWidth: float = 1.0
+    trimFraction: float = 0.0
+    distTransSize: int = 20
+    distTransExpandFactor: float = 2.0
+
+    # ---- TPU search shape (new; no reference equivalent) ----
+    rot_batch: int = 64          # rotation cubes popped per outer step
+    trans_capacity: int = 256    # translation frontier width per rotation lane
+    trans_pop: int = 16          # translation nodes expanded per inner iteration
+    inner_max_iters: int = 200   # inner BnB iteration cap per invocation
+    rot_frontier_capacity: int = 500_000  # host-side outer frontier cap
+    icp_max_iter: int = 200      # reference caps at 10000 (jly_icp3d.hpp:126);
+                                 # ICP converges in <50 iters on these clouds
+    max_outer_steps: int = 100_000
+
+    # ---- derived (jly_main.cpp:258-262) ----
+    @property
+    def doTrim(self) -> bool:
+        return self.trimFraction >= 0.001
+
+    @property
+    def err_diff(self) -> float:
+        # ICP convergence threshold (jly_goicp.cpp:232)
+        return self.MSEThresh / 10000.0
+
+    def validate(self) -> "GoICPConfig":
+        assert self.norm in (1, 2), "norm must be 1 (L1) or 2 (L2)"
+        assert self.cfpfh in (0, 1, 2, 3)
+        assert self.distTransSize >= 2
+        assert 0.0 <= self.trimFraction < 1.0
+        return self
+
+    @classmethod
+    def from_file(cls, path: str) -> "GoICPConfig":
+        return cls.from_dict(parse_config_file(path))
+
+    @classmethod
+    def from_dict(cls, values: dict) -> "GoICPConfig":
+        kwargs = {}
+        int_fields = {
+            f.name for f in dataclasses.fields(cls) if f.type in ("int", int)
+        }
+        for f in dataclasses.fields(cls):
+            if f.name not in values:
+                continue
+            raw = values[f.name]
+            kwargs[f.name] = int(float(raw)) if f.name in int_fields else float(raw)
+        return cls(**kwargs).validate()
+
+
+def parse_config_file(path: str) -> dict:
+    """Parse a reference-style config file: `key=value`, `#` comments.
+
+    Token splitting mirrors ConfigMap.cpp (delimiters " =;").
+    """
+    values = {}
+    with open(path, "r") as fh:
+        for line in fh:
+            line = line.split("#", 1)[0].strip()
+            if not line:
+                continue
+            m = re.match(r"([A-Za-z0-9_]+)\s*[=; ]\s*(\S+)", line)
+            if m:
+                values[m.group(1)] = m.group(2)
+    return values

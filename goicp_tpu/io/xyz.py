@@ -1,0 +1,59 @@
+"""Normalized point-cloud (.xyz) reading/writing.
+
+Format (transformation.cpp:340-350 / jly_main.cpp:289-301):
+    line 1: N
+    lines 2..N+1: x y z [prop_code]
+written with C++ default ostream precision (6 significant digits).  The
+reference re-reads the file it just wrote, so the search runs on the
+6-sig-digit quantized coordinates; `quantize_like_file` reproduces that
+round-trip without touching disk.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _fmt(v: float) -> str:
+    # C++ default ostream: 6 significant digits, shortest-ish form
+    return f"{v:.6g}"
+
+
+def write_normalized_cloud(path: str, coords: np.ndarray,
+                           props: np.ndarray | None = None) -> None:
+    n = len(coords)
+    with open(path, "w") as fh:
+        fh.write(f"{n}\n")
+        for i in range(n):
+            row = " ".join(_fmt(float(c)) for c in coords[i])
+            if props is not None:
+                row += f" {int(props[i])}"
+            fh.write(row + "\n")
+
+
+def read_point_cloud(path: str):
+    """Read `N\\nx y z [c]` files. Returns (coords (N,3) f64, props (N,) i64
+    or None)."""
+    with open(path, "r") as fh:
+        n = int(fh.readline().split()[0])
+        coords = np.zeros((n, 3), dtype=np.float64)
+        props = None
+        for i in range(n):
+            tok = fh.readline().split()
+            coords[i] = [float(tok[0]), float(tok[1]), float(tok[2])]
+            if len(tok) > 3:
+                if props is None:
+                    props = np.zeros(n, dtype=np.int64)
+                props[i] = int(tok[3])
+    return coords, props
+
+
+def quantize_like_file(coords: np.ndarray) -> np.ndarray:
+    """Round-trip coords through the 6-sig-digit text format in memory,
+    matching the reference's write-then-reload behavior (jly_main.cpp:88-99)."""
+    out = np.empty_like(coords, dtype=np.float64)
+    flat_in = coords.reshape(-1)
+    flat_out = out.reshape(-1)
+    for i, v in enumerate(flat_in):
+        flat_out[i] = float(_fmt(float(v)))
+    return out
