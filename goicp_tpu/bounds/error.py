@@ -1,0 +1,128 @@
+"""Error scoring of full transforms (BnB/ICP-comparable DT error).
+
+Mirrors GoICP::ICP re-scoring (jly_goicp.cpp:102-178) and the initial error
+seeding (jly_goicp.cpp:597-626), including the reference quirks:
+  * trimmed ICP re-scoring drops the per-point weights and always squares
+    (jly_goicp.cpp:135, :170-174), while the untrimmed path applies
+    weights and the norm choice (:128-131);
+  * the initial error at identity DOES weight before trimming (:604-613);
+  * worst-case chem seeds: reg*Nd^2, regFPFH*800^2, regN*(6 Nd)^2
+    (:623-625).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from goicp_tpu.chem.properties import compatibility_matrix
+from goicp_tpu.config import GoICPConfig
+from goicp_tpu.grid.lookup import dt_distance, nearest_cell_id
+from goicp_tpu.pipeline.prepare import PairData
+
+
+class Score(NamedTuple):
+    error: jnp.ndarray
+    geom: jnp.ndarray
+    incomp_term: jnp.ndarray
+    fpfh_term: jnp.ndarray
+    nbr_term: jnp.ndarray
+    incomp_count: jnp.ndarray   # BnB-style count at the full transform
+
+
+def _norm_sum(vals: jnp.ndarray, norm: int) -> jnp.ndarray:
+    return jnp.sum(vals * vals) if norm == 2 else jnp.sum(vals)
+
+
+def trimmed_smallest(vals: jnp.ndarray, inlier_num: int) -> jnp.ndarray:
+    """Keep the inlier_num smallest values (intro_select analogue)."""
+    if inlier_num >= vals.shape[-1]:
+        return vals
+    neg, _ = jax.lax.top_k(-vals, inlier_num)
+    return -neg
+
+
+def icp_chem_terms(pair: PairData, cfg: GoICPConfig, nn_idx: jnp.ndarray):
+    """Chem regularization terms from ICP correspondences.
+
+    Returns (nbr_term, incomp_term, fpfh_term, icp_incomp_count)."""
+    compat = jnp.asarray(compatibility_matrix())
+    incomp_pairs = ~compat[pair.data_props, pair.model_props[nn_idx]]
+    incomp = jnp.sum(incomp_pairs).astype(jnp.float32)
+
+    nbr_term = jnp.float32(0.0)
+    if cfg.regularizationNeighbors > 0:
+        nbsum = jnp.sum(jnp.abs(pair.data_nbrs
+                                - pair.model_nbrs[nn_idx])).astype(jnp.float32)
+        nbr_term = cfg.regularizationNeighbors * nbsum * nbsum
+
+    incomp_term = jnp.float32(0.0)
+    if cfg.regularization > 0:
+        incomp_term = cfg.regularization * incomp * incomp
+
+    fpfh_term = jnp.float32(0.0)
+    if cfg.regularizationFPFH > 0 and cfg.cfpfh != 0:
+        fp = jnp.sum(jnp.abs(pair.data_fpfh
+                             - pair.model_fpfh[nn_idx])) / pair.n_data
+        fpfh_term = cfg.regularizationFPFH * fp * fp
+    return nbr_term, incomp_term, fpfh_term, incomp
+
+icp_chem_terms = functools.partial(jax.jit, static_argnames=("cfg",))(
+    icp_chem_terms)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def bnb_incompatibility_count(pair: PairData, cfg: GoICPConfig,
+                              R: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+    """GoICP::updateCompatibilities (jly_goicp.cpp:933-946): count of data
+    points whose property is incompatible with their nearest occupied cell
+    under the full transform."""
+    pts = pair.data @ R.T + t[None, :]
+    cid = nearest_cell_id(pts, pair.grid.nearest_cell, pair.grid.consts)
+    comp = jnp.take_along_axis(pair.compat_table, cid[:, None], axis=1)[:, 0]
+    return jnp.sum(~comp).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def score_transform(pair: PairData, cfg: GoICPConfig, R: jnp.ndarray,
+                    t: jnp.ndarray, nn_idx: jnp.ndarray) -> Score:
+    """GoICP::ICP re-scoring of a transform with DT distances + chem terms.
+    nn_idx: ICP correspondences used for the chem terms."""
+    pts = pair.data @ R.T + t[None, :]
+    d = dt_distance(pts, pair.grid.dist, pair.grid.consts)
+
+    if cfg.doTrim:
+        kept = trimmed_smallest(d, pair.inlier_num)   # unweighted (quirk)
+        geom = jnp.sum(kept * kept)                   # always squared (quirk)
+    else:
+        wd = pair.weights * d
+        geom = _norm_sum(wd, cfg.norm)
+
+    nbr_term, incomp_term, fpfh_term, _ = icp_chem_terms(pair, cfg, nn_idx)
+    error = geom + nbr_term + incomp_term + fpfh_term
+    bnb_count = bnb_incompatibility_count(pair, cfg, R, t)
+    return Score(error=error, geom=geom, incomp_term=incomp_term,
+                 fpfh_term=fpfh_term, nbr_term=nbr_term,
+                 incomp_count=bnb_count)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def initial_error(pair: PairData, cfg: GoICPConfig) -> jnp.ndarray:
+    """Initial incumbent at identity + worst-case chem seeds
+    (jly_goicp.cpp:597-626)."""
+    d = dt_distance(pair.data, pair.grid.dist, pair.grid.consts)
+    wd = pair.weights * d
+    if cfg.doTrim:
+        wd = trimmed_smallest(wd, pair.inlier_num)
+    err = _norm_sum(wd, cfg.norm)
+    nd = jnp.float32(pair.n_data)
+    if cfg.regularization > 0:
+        err = err + cfg.regularization * nd * nd
+    if cfg.regularizationFPFH > 0:
+        err = err + cfg.regularizationFPFH * (800.0 * 800.0)
+    if cfg.regularizationNeighbors > 0:
+        err = err + cfg.regularizationNeighbors * (6.0 * nd) * (6.0 * nd)
+    return err

@@ -16,7 +16,7 @@ import dataclasses
 import re
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(frozen=True)
 class GoICPConfig:
     # ---- reference keys (config.txt:1-54) ----
     MSEThresh: float = 0.01

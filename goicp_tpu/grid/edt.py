@@ -193,7 +193,8 @@ def _edt_fields(cell_coords: jnp.ndarray, size: int):
             s = jax.lax.dynamic_slice(seeds, (c_start, 0), (_CELL_CHUNK, 3))
             sn = jax.lax.dynamic_slice(c_norm, (c_start,), (_CELL_CHUNK,))
             # (B, CC) squared distances via MXU
-            cross = jnp.dot(v, s.T, preferred_element_type=jnp.float32)
+            cross = jnp.dot(v, s.T, preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
             d2 = v_norm[:, None] - 2.0 * cross + sn[None, :]
             i_local = jnp.argmin(d2, axis=1).astype(jnp.int32)
             d_local = jnp.take_along_axis(d2, i_local[:, None], axis=1)[:, 0]

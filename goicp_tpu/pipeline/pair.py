@@ -1,0 +1,120 @@
+"""Single-pair end-to-end pipeline (the TPU equivalent of jly_main.cpp).
+
+Steps (jly_main.cpp:54-179):
+  1. read both cavity .mol2 files (source = data, target = model)
+  2. centralize both; common scale = max of the two max-norms; divide
+  3. write normalized clouds to cavitiesN/ (and run the search on the
+     6-sig-digit quantized coordinates, as the reference's write-then-reload
+     does)
+  4. load c-FPFH descriptors when cfpfh != 0
+  5. build grid fields + chem tables, register (BnB + ICP)
+  6. write output.txt and *_rescaled.txt (world-frame transform)
+  7. optionally apply the transform to the full protein chain and compute
+     RMSD vs the pre-aligned reference protein (the documented pipeline,
+     jly_main.cpp:158-172, disabled in the reference's v0 main)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+import numpy as np
+
+from goicp_tpu.config import GoICPConfig
+from goicp_tpu.geom.normalize import normalize_pair
+from goicp_tpu.geom.rmsd import rmsd as compute_rmsd
+from goicp_tpu.geom.transform import rescale_transform
+from goicp_tpu.io.cfpfh import cfpfh_path_for_cavity, read_cfpfh
+from goicp_tpu.io.mol2 import (apply_transform_protein, get_atom_block,
+                               read_mol_file)
+from goicp_tpu.io.output import write_output, write_rescaled
+from goicp_tpu.io.xyz import quantize_like_file, write_normalized_cloud
+from goicp_tpu.pipeline.prepare import prepare_pair
+from goicp_tpu.search.outer import RegistrationResult, register
+
+
+@dataclasses.dataclass
+class PairRunResult:
+    registration: RegistrationResult
+    R: np.ndarray
+    t: np.ndarray
+    R_world: np.ndarray
+    t_world: np.ndarray
+    scale: float
+    rmsd: float | None
+
+
+def run_pair(model_file: str, data_file: str, cfg: GoICPConfig,
+             nd_downsampled: int = 0, output_file: str | None = None,
+             pair_id: int = 1, out_dir: str | None = None,
+             cfpfh_dir: str | None = None, chains_dir: str | None = None,
+             ref_proteins_dir: str | None = None,
+             write_normalized: bool = True,
+             verbose: bool = False) -> PairRunResult:
+    """model_file: target cavity .mol2; data_file: source cavity .mol2."""
+    src_coords, src_props = read_mol_file(data_file)
+    tgt_coords, tgt_props = read_mol_file(model_file)
+    norm = normalize_pair(src_coords, tgt_coords)
+
+    # match the reference's write-then-reload text quantization
+    src_n = quantize_like_file(norm["source"])
+    tgt_n = quantize_like_file(norm["target"])
+
+    def cavity_name(path):
+        return os.path.splitext(os.path.basename(path))[0]
+
+    if write_normalized and out_dir:
+        nd = os.path.join(out_dir, "cavitiesN")
+        os.makedirs(nd, exist_ok=True)
+        write_normalized_cloud(
+            os.path.join(nd, f"{cavity_name(data_file)}_sim{pair_id}N.xyz"),
+            norm["source"], src_props)
+        write_normalized_cloud(
+            os.path.join(nd, f"{cavity_name(model_file)}_sim{pair_id}N.xyz"),
+            norm["target"], tgt_props)
+
+    src_fpfh = tgt_fpfh = None
+    if cfg.cfpfh != 0:
+        assert cfpfh_dir, "cfpfh != 0 requires cfpfh_dir"
+        src_fpfh = read_cfpfh(cfpfh_path_for_cavity(cfpfh_dir, data_file))
+        tgt_fpfh = read_cfpfh(cfpfh_path_for_cavity(cfpfh_dir, model_file))
+
+    pair = prepare_pair(src_n, tgt_n, src_props, tgt_props, cfg,
+                        src_fpfh, tgt_fpfh, nd_downsampled=nd_downsampled)
+    reg = register(pair, cfg, verbose=verbose)
+
+    R_world, t_world = rescale_transform(
+        reg.R, reg.t, norm["scale"], norm["source_mean"], norm["target_mean"])
+
+    if output_file:
+        os.makedirs(os.path.dirname(output_file) or ".", exist_ok=True)
+        write_output(output_file, reg.time_s, reg.R, reg.t, reg.error,
+                     reg.compatibilities)
+        stem = output_file.rsplit(".", 1)[0]
+        write_rescaled(stem + "_rescaled.txt", reg.time_s, R_world, t_world,
+                       reg.error)
+
+    # optional protein RMSD path (README.md:25, jly_main.cpp:158-172)
+    rmsd_val = None
+    if chains_dir and ref_proteins_dir:
+        src_id = cavity_name(data_file)[:6]
+        tgt_id = cavity_name(model_file)[:6]
+        protein = os.path.join(chains_dir, f"{src_id}_protein.mol2")
+        aligned = os.path.join(ref_proteins_dir, f"{src_id}.{tgt_id}",
+                               f"aligned_{src_id}_protein.mol2")
+        if os.path.exists(protein) and os.path.exists(aligned):
+            rot_dir = os.path.join(out_dir or ".", "rot")
+            os.makedirs(rot_dir, exist_ok=True)
+            rot_path = os.path.join(rot_dir, f"rot_{src_id}_protein.mol2")
+            apply_transform_protein(protein, rot_path, R_world, t_world)
+            rmsd_val = compute_rmsd(get_atom_block(aligned),
+                                    get_atom_block(rot_path))
+            if out_dir:
+                with open(os.path.join(out_dir, "resultsRMSD.txt"), "a") as fh:
+                    fh.write(f"{pair_id}\t{src_id}\t{tgt_id}\t"
+                             f"{rmsd_val:.6f}\n")
+
+    return PairRunResult(registration=reg, R=reg.R, t=reg.t,
+                         R_world=R_world, t_world=t_world,
+                         scale=norm["scale"], rmsd=rmsd_val)

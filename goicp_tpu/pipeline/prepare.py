@@ -1,0 +1,163 @@
+"""Per-pair device data preparation.
+
+Builds everything the search needs as device arrays, so the entire BnB hot
+path is matmuls + gathers:
+
+  * grid fields (exact EDT + nearest-occupied-cell), see grid/edt.py
+  * per-point weights (ponderation), neighbor counts
+  * chem tables indexed by (data point, occupied cell):
+      - compat_table[i, j]: is data point i's property compatible with cell j
+        (GoICP::checkCompatibility semantics, jly_goicp.cpp:974-1041 +
+        checkProperty :1068-1092 — uniform cell: compatibility map; mixed
+        cell: property equality with any point in the cell)
+      - fpfh_table[i, j]: min over points p in cell j of L1 distance between
+        selected c-FPFH bins (computeFPFHDifference BnB path,
+        jly_goicp.cpp:1643-1683)
+    With these, the reference's per-translation memoized corner evaluations
+    (jly_goicp.cpp:429-550) collapse into pure table gathers.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from goicp_tpu.chem.neighbors import neighbor_counts, neighbor_weights
+from goicp_tpu.chem.properties import codes_to_indices, compatibility_matrix
+from goicp_tpu.config import GoICPConfig
+from goicp_tpu.grid.edt import Grid, build_grid
+from goicp_tpu.io.cfpfh import select_bins
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class PairData:
+    """Device-resident inputs for one registration pair."""
+    data: jnp.ndarray          # (Nd, 3) f32 source cloud (normalized)
+    model: jnp.ndarray         # (Nm, 3) f32 target cloud (normalized)
+    weights: jnp.ndarray       # (Nd,) f32
+    data_props: jnp.ndarray    # (Nd,) i32 dense property indices
+    model_props: jnp.ndarray   # (Nm,) i32
+    data_nbrs: jnp.ndarray     # (Nd,) i32 neighbor counts (radius arg 0.050)
+    model_nbrs: jnp.ndarray    # (Nm,) i32
+    data_fpfh: jnp.ndarray     # (Nd, B) f32 selected bins (B=1 dummy if off)
+    model_fpfh: jnp.ndarray    # (Nm, B) f32
+    grid: Grid
+    compat_table: jnp.ndarray  # (Nd, C) bool
+    fpfh_table: jnp.ndarray    # (Nd, C) f32
+    norm_data: jnp.ndarray     # (Nd,) f32 point norms (rot uncertainty)
+    inlier_num: int            # static
+    n_data: int                # static
+    n_model: int               # static
+
+    def tree_flatten(self):
+        children = (self.data, self.model, self.weights, self.data_props,
+                    self.model_props, self.data_nbrs, self.model_nbrs,
+                    self.data_fpfh, self.model_fpfh, self.grid,
+                    self.compat_table, self.fpfh_table, self.norm_data)
+        return children, (self.inlier_num, self.n_data, self.n_model)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, inlier_num=aux[0], n_data=aux[1],
+                   n_model=aux[2])
+
+
+def _chem_tables(grid: Grid, data_props: jnp.ndarray,
+                 data_fpfh: jnp.ndarray, model_fpfh: jnp.ndarray,
+                 compat: jnp.ndarray):
+    """compat_table (Nd,C) bool and fpfh_table (Nd,C) f32."""
+    color = grid.cell_color            # (C,)
+    mask = grid.cell_mask              # (C,)
+    uniform = color >= 0
+    # uniform cell: compatibility map row lookup
+    comp_uniform = compat[data_props][:, jnp.clip(color, 0)]      # (Nd, C)
+    # mixed cell: any point in cell with equal property (bitmask test)
+    comp_mixed = ((mask[None, :] >> data_props[:, None]) & 1) == 1
+    compat_table = jnp.where(uniform[None, :], comp_uniform, comp_mixed)
+
+    # fpfh_table: min over cell points of L1 descriptor distance
+    K = grid.cell_points.shape[1]
+
+    def scan_k(best, k):
+        pt = grid.cell_points[:, k]                    # (C,)
+        valid = pt >= 0
+        fm = model_fpfh[jnp.clip(pt, 0)]               # (C, B)
+        d = jnp.sum(jnp.abs(data_fpfh[:, None, :] - fm[None, :, :]), axis=-1)
+        d = jnp.where(valid[None, :], d, jnp.inf)
+        return jnp.minimum(best, d), None
+
+    init = jnp.full((data_props.shape[0], color.shape[0]), jnp.inf,
+                    jnp.float32)
+    fpfh_table, _ = jax.lax.scan(scan_k, init,
+                                 jnp.arange(K, dtype=jnp.int32))
+    # cells with no points (padding) keep +inf; real lookups never hit them
+    return compat_table, fpfh_table
+
+
+def prepare_pair(source: np.ndarray, target: np.ndarray,
+                 source_props: np.ndarray, target_props: np.ndarray,
+                 cfg: GoICPConfig,
+                 source_fpfh: np.ndarray | None = None,
+                 target_fpfh: np.ndarray | None = None,
+                 nd_downsampled: int = 0) -> PairData:
+    """source/target: normalized clouds (f64 host); props: raw codes or
+    dense indices (values < 9 treated as dense)."""
+    src = np.asarray(source, dtype=np.float32)
+    tgt = np.asarray(target, dtype=np.float32)
+    sp = np.asarray(source_props)
+    tp = np.asarray(target_props)
+    if sp.size and sp.max(initial=0) >= 9:
+        sp = codes_to_indices(sp)
+    if tp.size and tp.max(initial=0) >= 9:
+        tp = codes_to_indices(tp)
+    sp = sp.astype(np.int32)
+    tp = tp.astype(np.int32)
+
+    # prefix downsampling (jly_main.cpp:114-117) — applies to the data cloud
+    # AFTER the DT is built on the model; weights use the downsampled set
+    if nd_downsampled and nd_downsampled > 0:
+        src = src[:nd_downsampled]
+        sp = sp[:nd_downsampled]
+        if source_fpfh is not None:
+            source_fpfh = source_fpfh[:nd_downsampled]
+    nd, nm = len(src), len(tgt)
+
+    grid = build_grid(tgt, tp, cfg.distTransSize, cfg.distTransExpandFactor)
+
+    weights = np.ones(nd, dtype=np.float32)
+    if cfg.ponderation == 1:
+        weights = neighbor_weights(src)
+
+    need_nbrs = cfg.regularizationNeighbors > 0
+    data_nbrs = neighbor_counts(src, 0.050) if need_nbrs \
+        else np.zeros(nd, np.int32)
+    model_nbrs = neighbor_counts(tgt, 0.050) if need_nbrs \
+        else np.zeros(nm, np.int32)
+
+    use_fpfh = cfg.cfpfh != 0 and source_fpfh is not None
+    if use_fpfh:
+        sf = select_bins(np.asarray(source_fpfh, np.float32), cfg.cfpfh)
+        tf = select_bins(np.asarray(target_fpfh, np.float32), cfg.cfpfh)
+    else:
+        sf = np.zeros((nd, 1), np.float32)
+        tf = np.zeros((nm, 1), np.float32)
+
+    compat = jnp.asarray(compatibility_matrix())
+    compat_table, fpfh_table = _chem_tables(
+        grid, jnp.asarray(sp), jnp.asarray(sf), jnp.asarray(tf), compat)
+
+    inlier = int(nd * (1 - cfg.trimFraction)) if cfg.doTrim else nd
+    return PairData(
+        data=jnp.asarray(src), model=jnp.asarray(tgt),
+        weights=jnp.asarray(weights),
+        data_props=jnp.asarray(sp), model_props=jnp.asarray(tp),
+        data_nbrs=jnp.asarray(data_nbrs), model_nbrs=jnp.asarray(model_nbrs),
+        data_fpfh=jnp.asarray(sf), model_fpfh=jnp.asarray(tf),
+        grid=grid, compat_table=compat_table, fpfh_table=fpfh_table,
+        norm_data=jnp.linalg.norm(jnp.asarray(src), axis=1),
+        inlier_num=inlier, n_data=nd, n_model=nm,
+    )

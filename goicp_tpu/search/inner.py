@@ -1,0 +1,200 @@
+"""Inner translation BnB: lane-batched array frontier under lax.while_loop.
+
+Reference: GoICP::InnerBnB (jly_goicp.cpp:286-579) — best-first priority
+queue over translation subcubes, one node at a time, with memoized chem
+corner terms.
+
+TPU-first re-design (not a port):
+  * L rotation lanes (the 8 children of each popped rotation batch) run
+    their inner searches SIMULTANEOUSLY as a leading batch axis;
+  * each lane's priority queue becomes a fixed-capacity frontier tensor;
+    every iteration pops the P lowest-lb nodes, expands all 8P children,
+    evaluates bounds for all lanes at once (bounds/evaluate.py), prunes and
+    re-inserts by a sort;
+  * epsilon-optimality is preserved under capacity overflow by folding the
+    minimum lb of dropped nodes into the returned lower bound
+    (`lb_safe = min(best_ub, min_dropped_lb, remaining frontier min)`);
+    nodes whose lb >= optErrorT - SSEThresh are discarded outright, which is
+    exactly the reference's termination rule applied per node.
+
+The same routine serves both the rotation-ub pass (zero rotation
+uncertainty; returns the best achievable error + its translation node) and
+the rotation-lb pass (positive uncertainty; returns the safe lower bound),
+mirroring the two InnerBnB call sites (jly_goicp.cpp:768, :861).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from goicp_tpu.bounds.evaluate import (chem_bounds_from_lattice,
+                                       chem_corner_values, geometric_bounds,
+                                       rot_uncertainty, _LATTICE_OFFSETS,
+                                       _CHILD_OFFSETS)
+from goicp_tpu.config import GoICPConfig
+from goicp_tpu.pipeline.prepare import PairData
+
+INF = jnp.inf
+
+
+class InnerResult(NamedTuple):
+    best_err: jnp.ndarray    # (L,) best achievable error found (ub pass)
+    best_node: jnp.ndarray   # (L, 4) x,y,z,w of the winning trans node
+    lb_safe: jnp.ndarray     # (L,) valid lower bound for the rot cube
+    ub_terms: jnp.ndarray    # (L, 3) [geom, incomp, fpfh] of adopted ub
+    iters: jnp.ndarray       # scalar iterations executed
+    evals: jnp.ndarray       # scalar bound evaluations performed
+
+
+def _chem_active(cfg: GoICPConfig) -> bool:
+    return (cfg.regularization > 0 or cfg.regularizationNeighbors > 0
+            or (cfg.regularizationFPFH > 0 and cfg.cfpfh != 0))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "with_rot_uncertainty"))
+def inner_bnb(pair: PairData, cfg: GoICPConfig, pts_rot: jnp.ndarray,
+              rot_widths: jnp.ndarray, active: jnp.ndarray,
+              opt_error_init: jnp.ndarray,
+              with_rot_uncertainty: bool) -> InnerResult:
+    """pts_rot (L, Nd, 3) pre-rotated data; rot_widths (L,); active (L,) bool;
+    opt_error_init scalar incumbent."""
+    L = pts_rot.shape[0]
+    C = cfg.trans_capacity
+    P = cfg.trans_pop
+    sse_thresh = jnp.float32(cfg.MSEThresh * pair.inlier_num)
+
+    mrd = rot_uncertainty(rot_widths, pair.norm_data) \
+        if with_rot_uncertainty else None
+
+    child_off = jnp.asarray(_CHILD_OFFSETS, jnp.float32)      # (8,3)
+    lattice_off = jnp.asarray(_LATTICE_OFFSETS, jnp.float32)  # (27,3)
+    chem = _chem_active(cfg)
+
+    # frontier: nodes (L,C,4) [x,y,z,w], lbs (L,C) (+inf = empty slot)
+    root = jnp.array([cfg.transMinX, cfg.transMinY, cfg.transMinZ,
+                      cfg.transWidth], jnp.float32)
+    nodes0 = jnp.zeros((L, C, 4), jnp.float32).at[:, 0].set(root)
+    lbs0 = jnp.full((L, C), INF, jnp.float32).at[:, 0].set(0.0)
+
+    state0 = dict(
+        nodes=nodes0, lbs=lbs0,
+        opt_err=jnp.full((L,), 1.0, jnp.float32) * opt_error_init,
+        best_node=jnp.zeros((L, 4), jnp.float32),
+        ub_terms=jnp.zeros((L, 3), jnp.float32),
+        min_dropped=jnp.full((L,), INF, jnp.float32),
+        done=~active,
+        it=jnp.int32(0), evals=jnp.int32(0),
+    )
+
+    def cond(s):
+        return (~jnp.all(s["done"])) & (s["it"] < cfg.inner_max_iters)
+
+    def body(s):
+        lbs = s["lbs"]
+        min_lb = jnp.min(lbs, axis=1)                        # (L,)
+        done = s["done"] | jnp.isinf(min_lb) \
+            | (s["opt_err"] - min_lb < sse_thresh)
+
+        # pop the P lowest-lb nodes per lane
+        neg, idx = jax.lax.top_k(-lbs, P)                    # (L,P)
+        pop_lb = -neg
+        parents = jnp.take_along_axis(s["nodes"], idx[:, :, None], axis=1)
+        expand = (~done[:, None]) & jnp.isfinite(pop_lb) \
+            & (s["opt_err"][:, None] - pop_lb >= sse_thresh)
+        # clear popped slots (also the threshold-discarded ones: the
+        # reference's termination rule makes their whole subtree unable to
+        # improve the incumbent by more than SSEThresh)
+        lbs = jnp.where(done[:, None], s["lbs"],
+                        s["lbs"].at[jnp.arange(L)[:, None], idx].set(INF))
+
+        # expand children: (L,P,8,4)
+        cw = parents[..., 3:4] / 2.0                         # (L,P,1)
+        cxyz = parents[..., None, 0:3] + child_off[None, None] * cw[..., None, :]
+        cwidth = jnp.broadcast_to(cw[..., None, :], cxyz[..., :1].shape)
+        children = jnp.concatenate([cxyz, cwidth], axis=-1)  # (L,P,8,4)
+        centers = (cxyz + cw[..., None, :] / 2.0).reshape(L, P * 8, 3)
+        widths = cwidth.reshape(L, P * 8)
+
+        ub, lb = geometric_bounds(pair, cfg, pts_rot, centers, widths, mrd)
+
+        terms = jnp.zeros((L, P * 8, 3), jnp.float32)
+        if chem:
+            corners = (parents[..., None, 0:3]
+                       + lattice_off[None, None] * cw[..., None, :])
+            vals = chem_corner_values(pair, cfg, pts_rot,
+                                      corners.reshape(L, P * 27, 3))
+            vals = {k: v.reshape(L, P, 27) for k, v in vals.items()}
+            ub_add, lb_add, ub_t = chem_bounds_from_lattice(cfg, vals)
+            ub = ub + ub_add.reshape(L, P * 8)
+            lb = lb + lb_add.reshape(L, P * 8)
+            incomp_t = ub_t.get("incomp", jnp.zeros((L, P, 8)))
+            fpfh_t = ub_t.get("fpfh", jnp.zeros((L, P, 8)))
+            terms = jnp.stack([
+                ub - incomp_t.reshape(L, P * 8) - fpfh_t.reshape(L, P * 8),
+                incomp_t.reshape(L, P * 8), fpfh_t.reshape(L, P * 8)],
+                axis=-1)
+        else:
+            terms = jnp.stack([ub, jnp.zeros_like(ub), jnp.zeros_like(ub)],
+                              axis=-1)
+
+        valid = expand.reshape(L, P)[:, :, None] \
+            & jnp.ones((1, 1, 8), bool)
+        valid = valid.reshape(L, P * 8)
+        ub = jnp.where(valid, ub, INF)
+        lb = jnp.where(valid, lb, INF)
+
+        # adopt the best child ub per lane
+        bc = jnp.argmin(ub, axis=1)                          # (L,)
+        best_ub = jnp.take_along_axis(ub, bc[:, None], axis=1)[:, 0]
+        improved = (best_ub < s["opt_err"]) & ~done
+        opt_err = jnp.where(improved, best_ub, s["opt_err"])
+        chosen = jnp.take_along_axis(
+            children.reshape(L, P * 8, 4), bc[:, None, None], axis=1)[:, 0]
+        best_node = jnp.where(improved[:, None], chosen, s["best_node"])
+        chosen_terms = jnp.take_along_axis(
+            terms, bc[:, None, None], axis=1)[:, 0]
+        ub_terms = jnp.where(improved[:, None], chosen_terms, s["ub_terms"])
+
+        # prune children vs updated incumbent
+        lb = jnp.where(lb >= opt_err[:, None], INF, lb)
+
+        # merge + keep the C lowest-lb nodes
+        all_lbs = jnp.concatenate([lbs, lb], axis=1)         # (L, C+8P)
+        all_nodes = jnp.concatenate(
+            [s["nodes"], children.reshape(L, P * 8, 4)], axis=1)
+        order = jnp.argsort(all_lbs, axis=1)
+        sorted_lbs = jnp.take_along_axis(all_lbs, order, axis=1)
+        keep_lbs = sorted_lbs[:, :C]
+        keep_nodes = jnp.take_along_axis(
+            all_nodes, order[:, :C, None], axis=1)
+        dropped = sorted_lbs[:, C:]
+        min_drop = jnp.min(
+            jnp.where(jnp.isfinite(dropped), dropped, INF), axis=1)
+        min_dropped = jnp.minimum(s["min_dropped"],
+                                  jnp.where(done, INF, min_drop))
+
+        keep_nodes = jnp.where(done[:, None, None], s["nodes"], keep_nodes)
+        keep_lbs = jnp.where(done[:, None], s["lbs"], keep_lbs)
+
+        n_evals = jnp.sum(valid).astype(jnp.int32)
+        return dict(nodes=keep_nodes, lbs=keep_lbs, opt_err=opt_err,
+                    best_node=best_node, ub_terms=ub_terms,
+                    min_dropped=min_dropped, done=done,
+                    it=s["it"] + 1, evals=s["evals"] + n_evals)
+
+    s = jax.lax.while_loop(cond, body, state0)
+
+    # safe lower bound: not converged lanes also fold in the remaining
+    # frontier min (they'd have kept searching)
+    rem_min = jnp.min(s["lbs"], axis=1)
+    finished = s["done"]
+    lb_safe = jnp.minimum(s["opt_err"], s["min_dropped"])
+    lb_safe = jnp.where(finished, lb_safe, jnp.minimum(lb_safe, rem_min))
+    return InnerResult(best_err=s["opt_err"], best_node=s["best_node"],
+                       lb_safe=lb_safe, ub_terms=s["ub_terms"],
+                       iters=s["it"], evals=s["evals"])
