@@ -103,7 +103,9 @@ def prepare_pair(source: np.ndarray, target: np.ndarray,
                  cfg: GoICPConfig,
                  source_fpfh: np.ndarray | None = None,
                  target_fpfh: np.ndarray | None = None,
-                 nd_downsampled: int = 0) -> PairData:
+                 nd_downsampled: int = 0,
+                 pad_cells: int | None = None,
+                 pad_points: int | None = None) -> PairData:
     """source/target: normalized clouds (f64 host); props: raw codes or
     dense indices (values < 9 treated as dense)."""
     src = np.asarray(source, dtype=np.float32)
@@ -126,7 +128,8 @@ def prepare_pair(source: np.ndarray, target: np.ndarray,
             source_fpfh = source_fpfh[:nd_downsampled]
     nd, nm = len(src), len(tgt)
 
-    grid = build_grid(tgt, tp, cfg.distTransSize, cfg.distTransExpandFactor)
+    grid = build_grid(tgt, tp, cfg.distTransSize, cfg.distTransExpandFactor,
+                      pad_cells=pad_cells, pad_points=pad_points)
 
     weights = np.ones(nd, dtype=np.float32)
     if cfg.ponderation == 1:

@@ -1,0 +1,75 @@
+"""BO1 dataset sweep (the TPU equivalent of bo1_GoICP.py).
+
+Reference behavior (bo1_GoICP.py:40-68): for every pair (source, target)
+from the similar/dissimilar TSVs, run
+    ./GoICP cavities/<target>.mol2 cavities/<source>.mol2 <N> config.txt
+            output/<kind><k>.txt <k>
+where <N> is the source cavity's atom count (i.e. no actual downsampling).
+
+This driver adds what the reference lacks (SURVEY.md section 5): per-pair
+structured JSONL results, idempotent resume (skip pairs whose output exists),
+and the RMSD evaluation wired in-line instead of being commented out.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+
+from goicp_tpu.config import GoICPConfig
+from goicp_tpu.io.mol2 import mol2_atom_count
+from goicp_tpu.io.tsv import read_pair_list
+from goicp_tpu.pipeline.pair import run_pair
+
+
+def run_sweep(data_root: str, cfg: GoICPConfig, out_dir: str,
+              kind: str = "similar", limit: int | None = None,
+              start: int = 0, resume: bool = True, verbose: bool = False,
+              with_rmsd: bool = True):
+    """data_root: directory holding cavities/, cfpfh/, chains/, ref_proteins/
+    and the BO1 tsv files (i.e. a checkout of the reference data)."""
+    tsv = os.path.join(data_root, f"cavities_{kind}_BO1_clean.tsv")
+    pairs = read_pair_list(tsv)
+    if limit is not None:
+        pairs = pairs[start:start + limit]
+    else:
+        pairs = pairs[start:]
+
+    os.makedirs(out_dir, exist_ok=True)
+    results_path = os.path.join(out_dir, f"results_{kind}.jsonl")
+    results = []
+    for off, (src, tgt) in enumerate(pairs):
+        k = start + off + 1
+        out_file = os.path.join(out_dir, "output", f"{kind}{k}.txt")
+        if resume and os.path.exists(out_file):
+            continue
+        data_file = os.path.join(data_root, "cavities", f"{src}_cavity6.mol2")
+        model_file = os.path.join(data_root, "cavities", f"{tgt}_cavity6.mol2")
+        n = mol2_atom_count(data_file)
+        t0 = time.time()
+        res = run_pair(
+            model_file, data_file, cfg, nd_downsampled=n,
+            output_file=out_file, pair_id=k, out_dir=out_dir,
+            cfpfh_dir=os.path.join(data_root, "cfpfh"),
+            chains_dir=os.path.join(data_root, "chains") if with_rmsd else None,
+            ref_proteins_dir=os.path.join(data_root, "ref_proteins")
+            if with_rmsd else None,
+            verbose=verbose)
+        reg = res.registration
+        row = dict(pair=k, kind=kind, source=src, target=tgt,
+                   error=reg.error, geom_error=reg.geom_error,
+                   incomp_error=reg.incomp_error, fpfh_error=reg.fpfh_error,
+                   compatibilities=reg.compatibilities, rmsd=res.rmsd,
+                   time_s=time.time() - t0, outer_steps=reg.outer_steps,
+                   bound_evals=reg.bound_evals, icp_runs=reg.icp_runs,
+                   converged=reg.converged, gap=reg.gap)
+        results.append(row)
+        with open(results_path, "a") as fh:
+            fh.write(json.dumps(row) + "\n")
+        if verbose:
+            print(f"[{k}] {src} -> {tgt}: err {reg.error:.4f} "
+                  f"comp {reg.compatibilities} rmsd {res.rmsd} "
+                  f"({row['time_s']:.2f}s)")
+    return results
