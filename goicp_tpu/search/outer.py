@@ -38,6 +38,66 @@ from goicp_tpu.search.inner import inner_bnb
 SQRT3 = math.sqrt(3.0)
 
 
+class PyFrontier:
+    """Pure-Python fallback for native.NativeFrontier (same batched API)."""
+
+    def __init__(self, capacity: int = 0):
+        self._heap: list = []
+        self._seq = 0
+        self._capacity = capacity
+        self.min_dropped_lb = math.inf
+
+    def __len__(self):
+        return len(self._heap)
+
+    @property
+    def min_lb(self) -> float:
+        return self._heap[0][0] if self._heap else math.inf
+
+    def push(self, lb, a, b, c, w, level, ub):
+        for i in range(len(lb)):
+            heapq.heappush(self._heap,
+                           (float(lb[i]), self._seq,
+                            (float(a[i]), float(b[i]), float(c[i]),
+                             float(w[i]), int(level[i]), float(ub[i]))))
+            self._seq += 1
+        if self._capacity and len(self._heap) > self._capacity:
+            keep = sorted(self._heap)[: self._capacity]
+            dropped = sorted(self._heap)[self._capacity:]
+            if dropped:
+                self.min_dropped_lb = min(self.min_dropped_lb, dropped[0][0])
+            self._heap = keep
+            heapq.heapify(self._heap)
+
+    def pop(self, max_n: int, opt_err: float):
+        out = [[] for _ in range(7)]
+        while self._heap and len(out[0]) < max_n:
+            lb, _, (a, b, c, w, level, ub) = heapq.heappop(self._heap)
+            if lb >= opt_err:
+                continue
+            for slot, v in zip(out, (lb, a, b, c, w, level, ub)):
+                slot.append(v)
+        lbs, a, b, c, w, level, ub = out
+        return (np.asarray(lbs, np.float32), np.asarray(a, np.float32),
+                np.asarray(b, np.float32), np.asarray(c, np.float32),
+                np.asarray(w, np.float32), np.asarray(level, np.int32),
+                np.asarray(ub, np.float32))
+
+    def clear(self):
+        self._heap.clear()
+
+
+def make_frontier(capacity: int):
+    """Native batched heap when the toolchain built it, Python otherwise."""
+    try:
+        from goicp_tpu.native import NativeFrontier, available
+        if available():
+            return NativeFrontier(capacity)
+    except Exception:
+        pass
+    return PyFrontier(capacity)
+
+
 @dataclasses.dataclass
 class RegistrationResult:
     error: float
@@ -110,16 +170,14 @@ def register(pair: PairData, cfg: GoICPConfig, verbose: bool = False
         last_icp = True
         log(f"Error*: {opt_error:.6g} (ICP init), comp {nd - opt_comp}")
 
-    # ---- rotation frontier (host heap of (lb, counter, node)) ----
-    heap: list = []
-    counter = 0
-
-    def push(lb, ub, a, b, c, w, level):
-        nonlocal counter
-        heapq.heappush(heap, (lb, counter, (a, b, c, w, level, ub)))
-        counter += 1
-
-    push(0.0, np.inf, cfg.rotMinX, cfg.rotMinY, cfg.rotMinZ, cfg.rotWidth, 0)
+    # ---- rotation frontier (host batched min-heap; native when built) ----
+    frontier = make_frontier(cfg.rot_frontier_capacity)
+    frontier.push(np.zeros(1, np.float32),
+                  np.asarray([cfg.rotMinX], np.float32),
+                  np.asarray([cfg.rotMinY], np.float32),
+                  np.asarray([cfg.rotMinZ], np.float32),
+                  np.asarray([cfg.rotWidth], np.float32),
+                  np.zeros(1, np.int32), np.full(1, np.inf, np.float32))
 
     L = cfg.rot_batch * 8
     outer_steps = 0
@@ -127,46 +185,49 @@ def register(pair: PairData, cfg: GoICPConfig, verbose: bool = False
     converged = False
     min_lb_seen = 0.0
 
-    while heap and outer_steps < cfg.max_outer_steps:
+    while len(frontier) and outer_steps < cfg.max_outer_steps:
         # ---- pop a batch of rotation cubes ----
-        parents = []
-        while heap and len(parents) < cfg.rot_batch:
-            lb, _, node = heapq.heappop(heap)
-            if lb >= opt_error:
-                continue  # stale (pruned)
-            if opt_error - lb <= sse_thresh:
-                # min-lb node within threshold -> all remaining are too
-                heap.clear()
-                converged = True
-                min_lb_seen = lb
-                break
-            parents.append((lb, node))
-        if converged or not parents:
-            if not converged and not heap and not parents:
-                converged = True  # frontier exhausted
+        p_lb, p_a, p_b, p_c, p_w, p_level, _ = frontier.pop(
+            cfg.rot_batch, opt_error)
+        if len(p_lb) == 0:
+            converged = True  # every remaining node was stale
             break
+        if opt_error - p_lb[0] <= sse_thresh:
+            # min-lb node within threshold -> all remaining are too
+            frontier.clear()
+            converged = True
+            min_lb_seen = float(p_lb[0])
+            break
+        # drop popped nodes that individually hit the threshold
+        keep = opt_error - p_lb > sse_thresh
+        p_lb, p_a, p_b, p_c, p_w, p_level = (
+            x[keep] for x in (p_lb, p_a, p_b, p_c, p_w, p_level))
         outer_steps += 1
-        min_lb_seen = parents[0][0]
+        min_lb_seen = float(p_lb[0])
 
-        # ---- expand 8 children per parent, pi-ball filter ----
+        # ---- expand 8 children per parent, pi-ball filter (vectorized) ----
+        n_par = len(p_lb)
+        cw = (p_w / 2.0)[:, None]                               # (P,1)
+        off = np.array([[j & 1, (j >> 1) & 1, (j >> 2) & 1]
+                        for j in range(8)], np.float32)          # (8,3)
+        child_xyz = np.stack([p_a, p_b, p_c], 1)[:, None, :] \
+            + off[None] * cw[..., None]                         # (P,8,3)
+        child_ctr = child_xyz + cw[..., None] / 2.0             # (P,8,3)
+        n_child = n_par * 8
         centers = np.zeros((L, 3), np.float32)
         widths = np.zeros((L,), np.float32)
         active = np.zeros((L,), bool)
         child_nodes = np.zeros((L, 5), np.float64)  # a,b,c,w,level
-        for p, (_, (a, b, c, w, level, _ub)) in enumerate(parents):
-            cw = w / 2.0
-            for j in range(8):
-                lane = p * 8 + j
-                ca = a + (j & 1) * cw
-                cb = b + ((j >> 1) & 1) * cw
-                cc = c + ((j >> 2) & 1) * cw
-                v = np.array([ca + cw / 2, cb + cw / 2, cc + cw / 2])
-                child_nodes[lane] = (ca, cb, cc, cw, level + 1)
-                if np.linalg.norm(v) - SQRT3 * cw / 2 > math.pi:
-                    continue  # outside the pi-ball (jly_goicp.cpp:723-726)
-                centers[lane] = v
-                widths[lane] = cw
-                active[lane] = True
+        centers[:n_child] = child_ctr.reshape(-1, 3)
+        widths[:n_child] = np.repeat(p_w / 2.0, 8)
+        child_nodes[:n_child, 0:3] = child_xyz.reshape(-1, 3)
+        child_nodes[:n_child, 3] = np.repeat(p_w / 2.0, 8)
+        child_nodes[:n_child, 4] = np.repeat(p_level + 1, 8)
+        inside = (np.linalg.norm(centers[:n_child], axis=1)
+                  - SQRT3 * widths[:n_child] / 2.0) <= math.pi
+        active[:n_child] = inside  # pi-ball skip (jly_goicp.cpp:723-726)
+        centers[:n_child][~inside] = 0.0
+        widths[:n_child][~inside] = 0.0
 
         R_lanes, pts_rot = _rotate_lanes(pair.data, jnp.asarray(centers))
 
@@ -217,28 +278,25 @@ def register(pair: PairData, cfg: GoICPConfig, verbose: bool = False
         bound_evals += int(res_lb.evals)
         lbs = np.asarray(res_lb.lb_safe, np.float64)
 
-        # ---- push surviving children ----
-        for lane in range(L):
-            if not active[lane]:
-                continue
-            if lbs[lane] >= opt_error:
-                continue
-            a, b, c, w, level = child_nodes[lane]
-            push(float(lbs[lane]), float(ubs[lane]), a, b, c, w, int(level))
+        # ---- push surviving children (batched; capacity drops are folded
+        # into the reported gap via min_dropped_lb) ----
+        survive = active & (lbs < opt_error)
+        if survive.any():
+            frontier.push(lbs[survive].astype(np.float32),
+                          child_nodes[survive, 0].astype(np.float32),
+                          child_nodes[survive, 1].astype(np.float32),
+                          child_nodes[survive, 2].astype(np.float32),
+                          child_nodes[survive, 3].astype(np.float32),
+                          child_nodes[survive, 4].astype(np.int32),
+                          ubs[survive].astype(np.float32))
 
-        # soft capacity control: drop the worst-lb nodes (they are the least
-        # likely to matter; epsilon-optimality is tracked via the final gap)
-        if len(heap) > cfg.rot_frontier_capacity:
-            heap_sorted = sorted(heap)[: cfg.rot_frontier_capacity]
-            heap.clear()
-            heap.extend(heap_sorted)
-            heapq.heapify(heap)
-
-    if not heap and not converged:
+    if not len(frontier) and not converged:
         converged = True  # frontier exhausted ("Rotation Queue Empty")
-    remaining_lb = min((lb for lb, _, _ in heap), default=opt_error)
-    gap = max(0.0, opt_error - min(remaining_lb, opt_error)) if heap \
-        else max(0.0, min(opt_error - min_lb_seen, sse_thresh))
+    remaining_lb = frontier.min_lb if len(frontier) else opt_error
+    remaining_lb = min(remaining_lb, frontier.min_dropped_lb)
+    gap = max(0.0, opt_error - min(remaining_lb, opt_error)) \
+        if len(frontier) else max(0.0, min(opt_error - min_lb_seen,
+                                           sse_thresh))
     return RegistrationResult(
         error=opt_error, R=opt_R, t=opt_t, optComp=opt_comp,
         compatibilities=nd - opt_comp, geom_error=geom_err,
