@@ -17,6 +17,13 @@ NUM_BINS = 41
 
 
 def read_cfpfh(path: str) -> np.ndarray:
+    try:
+        from goicp_tpu import native
+        vals = native.parse_float_table(path, 1 << 24)
+        if vals is not None and len(vals) % NUM_BINS == 0 and len(vals):
+            return vals.reshape(-1, NUM_BINS)
+    except Exception:
+        pass
     data = np.loadtxt(path, dtype=np.float64)
     data = np.atleast_2d(data)
     if data.shape[1] != NUM_BINS:

@@ -21,7 +21,18 @@ def read_mol_file(path: str):
     """Parse the @<TRIPOS>ATOM block of a .mol2 file.
 
     Returns (coords float64 (N,3), props int64 (N,) raw property codes).
+    Uses the native parser (goicp_tpu/native/parsers.cpp) when built.
     """
+    try:
+        from goicp_tpu import native
+        res = native.parse_mol2_atoms(path)
+        if res is not None:
+            coords, names = res
+            props = np.array([string_to_prop(n) for n in names],
+                             dtype=np.int64)
+            return coords, props
+    except Exception:
+        pass
     coords, props = [], []
     in_atoms = False
     with open(path, "r") as fh:
