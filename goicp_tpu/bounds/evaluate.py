@@ -88,17 +88,34 @@ def chem_corner_values(pair: PairData, cfg: GoICPConfig,
     1697) and compareNeighbors BnB path (:1261-1287), all through the
     nearest-occupied-cell of the clamped voxel.
     """
+    from goicp_tpu.grid.lookup import flat_index, voxel_indices
     pos = pts_rot[:, None, :, :] + corners[:, :, None, :]   # (L,Q,Nd,3)
-    cid = nearest_cell_id(pos, pair.grid.nearest_cell,
-                          pair.grid.consts)                 # (L,Q,Nd)
     nd_idx = jnp.arange(pair.n_data)[None, None, :]
     out = {}
-    if cfg.regularization > 0:
-        comp = pair.compat_table[nd_idx, cid]               # (L,Q,Nd) bool
-        out["incomp"] = jnp.sum(~comp, axis=-1).astype(jnp.float32)
-    if cfg.regularizationFPFH > 0 and cfg.cfpfh != 0:
-        fp = pair.fpfh_table[nd_idx, cid]                   # (L,Q,Nd)
-        out["fpfh"] = jnp.sum(fp, axis=-1) / pair.n_data
+    if pair.fused_chem:
+        # one gather per (corner, point) against per-voxel tables
+        _, clamped = voxel_indices(pos, pair.grid.consts)
+        flat = flat_index(clamped, pair.grid.consts)        # (L,Q,Nd)
+        if cfg.regularization > 0:
+            comp = pair.comp_voxel[nd_idx, flat]
+            out["incomp"] = jnp.sum(~comp, axis=-1).astype(jnp.float32)
+        if cfg.regularizationFPFH > 0 and cfg.cfpfh != 0:
+            fp = pair.fpfh_voxel[nd_idx, flat]
+            out["fpfh"] = jnp.sum(fp, axis=-1) / pair.n_data
+        if cfg.regularizationNeighbors > 0:
+            cid = nearest_cell_id(pos, pair.grid.nearest_cell,
+                                  pair.grid.consts)
+        else:
+            cid = None
+    else:
+        cid = nearest_cell_id(pos, pair.grid.nearest_cell,
+                              pair.grid.consts)             # (L,Q,Nd)
+        if cfg.regularization > 0:
+            comp = pair.compat_table[nd_idx, cid]           # (L,Q,Nd) bool
+            out["incomp"] = jnp.sum(~comp, axis=-1).astype(jnp.float32)
+        if cfg.regularizationFPFH > 0 and cfg.cfpfh != 0:
+            fp = pair.fpfh_table[nd_idx, cid]               # (L,Q,Nd)
+            out["fpfh"] = jnp.sum(fp, axis=-1) / pair.n_data
     if cfg.regularizationNeighbors > 0:
         # nearest model point within the nearest occupied cell (argmin of
         # true distances over the cell's padded point list)

@@ -49,21 +49,26 @@ class PairData:
     compat_table: jnp.ndarray  # (Nd, C) bool
     fpfh_table: jnp.ndarray    # (Nd, C) f32
     norm_data: jnp.ndarray     # (Nd,) f32 point norms (rot uncertainty)
+    comp_voxel: jnp.ndarray    # (Nd, S^3) bool fused chem table, or (0,0)
+    fpfh_voxel: jnp.ndarray    # (Nd, S^3) f32 fused chem table, or (0,0)
     inlier_num: int            # static
     n_data: int                # static
     n_model: int               # static
+    fused_chem: bool           # static: per-voxel chem tables materialized
 
     def tree_flatten(self):
         children = (self.data, self.model, self.weights, self.data_props,
                     self.model_props, self.data_nbrs, self.model_nbrs,
                     self.data_fpfh, self.model_fpfh, self.grid,
-                    self.compat_table, self.fpfh_table, self.norm_data)
-        return children, (self.inlier_num, self.n_data, self.n_model)
+                    self.compat_table, self.fpfh_table, self.norm_data,
+                    self.comp_voxel, self.fpfh_voxel)
+        return children, (self.inlier_num, self.n_data, self.n_model,
+                          self.fused_chem)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(*children, inlier_num=aux[0], n_data=aux[1],
-                   n_model=aux[2])
+                   n_model=aux[2], fused_chem=aux[3])
 
 
 def _chem_tables(grid: Grid, data_props: jnp.ndarray,
@@ -153,6 +158,22 @@ def prepare_pair(source: np.ndarray, target: np.ndarray,
     compat_table, fpfh_table = _chem_tables(
         grid, jnp.asarray(sp), jnp.asarray(sf), jnp.asarray(tf), compat)
 
+    # fused per-(point, voxel) chem tables: one gather instead of
+    # voxel -> nearest-cell -> (point, cell) table; worth the memory only on
+    # small grids (the reference's cavity runs use SIZE=20 -> 7.6 MB at f32)
+    chem_active = (cfg.regularization > 0
+                   or (cfg.regularizationFPFH > 0 and cfg.cfpfh != 0))
+    s3 = cfg.distTransSize ** 3
+    fused_chem = bool(chem_active and nd * s3 <= 64_000_000)
+    if fused_chem:
+        comp_voxel = compat_table[:, grid.nearest_cell]       # (Nd, S^3)
+        fpfh_voxel = fpfh_table[:, grid.nearest_cell] \
+            if (cfg.regularizationFPFH > 0 and cfg.cfpfh != 0) \
+            else jnp.zeros((0, 0), jnp.float32)
+    else:
+        comp_voxel = jnp.zeros((0, 0), bool)
+        fpfh_voxel = jnp.zeros((0, 0), jnp.float32)
+
     inlier = int(nd * (1 - cfg.trimFraction)) if cfg.doTrim else nd
     return PairData(
         data=jnp.asarray(src), model=jnp.asarray(tgt),
@@ -162,5 +183,6 @@ def prepare_pair(source: np.ndarray, target: np.ndarray,
         data_fpfh=jnp.asarray(sf), model_fpfh=jnp.asarray(tf),
         grid=grid, compat_table=compat_table, fpfh_table=fpfh_table,
         norm_data=jnp.linalg.norm(jnp.asarray(src), axis=1),
-        inlier_num=inlier, n_data=nd, n_model=nm,
+        comp_voxel=comp_voxel, fpfh_voxel=fpfh_voxel,
+        inlier_num=inlier, n_data=nd, n_model=nm, fused_chem=fused_chem,
     )
