@@ -50,13 +50,14 @@ def icp_chem_terms(pair: PairData, cfg: GoICPConfig, nn_idx: jnp.ndarray):
 
     Returns (nbr_term, incomp_term, fpfh_term, icp_incomp_count)."""
     compat = jnp.asarray(compatibility_matrix())
+    mask = pair.data_mask
     incomp_pairs = ~compat[pair.data_props, pair.model_props[nn_idx]]
-    incomp = jnp.sum(incomp_pairs).astype(jnp.float32)
+    incomp = jnp.sum(incomp_pairs * mask).astype(jnp.float32)
 
     nbr_term = jnp.float32(0.0)
     if cfg.regularizationNeighbors > 0:
-        nbsum = jnp.sum(jnp.abs(pair.data_nbrs
-                                - pair.model_nbrs[nn_idx])).astype(jnp.float32)
+        nbsum = jnp.sum(jnp.abs(pair.data_nbrs - pair.model_nbrs[nn_idx])
+                        * mask).astype(jnp.float32)
         nbr_term = cfg.regularizationNeighbors * nbsum * nbsum
 
     incomp_term = jnp.float32(0.0)
@@ -65,8 +66,9 @@ def icp_chem_terms(pair: PairData, cfg: GoICPConfig, nn_idx: jnp.ndarray):
 
     fpfh_term = jnp.float32(0.0)
     if cfg.regularizationFPFH > 0 and cfg.cfpfh != 0:
-        fp = jnp.sum(jnp.abs(pair.data_fpfh
-                             - pair.model_fpfh[nn_idx])) / pair.n_data
+        fp = jnp.sum(jnp.sum(jnp.abs(pair.data_fpfh
+                                     - pair.model_fpfh[nn_idx]), axis=-1)
+                     * mask) / pair.n_data
         fpfh_term = cfg.regularizationFPFH * fp * fp
     return nbr_term, incomp_term, fpfh_term, incomp
 
@@ -83,7 +85,7 @@ def bnb_incompatibility_count(pair: PairData, cfg: GoICPConfig,
     pts = pair.data @ R.T + t[None, :]
     cid = nearest_cell_id(pts, pair.grid.nearest_cell, pair.grid.consts)
     comp = jnp.take_along_axis(pair.compat_table, cid[:, None], axis=1)[:, 0]
-    return jnp.sum(~comp).astype(jnp.int32)
+    return jnp.sum((~comp) * pair.data_mask).astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -95,10 +97,11 @@ def score_transform(pair: PairData, cfg: GoICPConfig, R: jnp.ndarray,
     d = dt_distance(pts, pair.grid.dist, pair.grid.consts)
 
     if cfg.doTrim:
+        d = jnp.where(pair.data_mask > 0, d, jnp.inf)
         kept = trimmed_smallest(d, pair.inlier_num)   # unweighted (quirk)
         geom = jnp.sum(kept * kept)                   # always squared (quirk)
     else:
-        wd = pair.weights * d
+        wd = pair.weights * d                         # padding weight == 0
         geom = _norm_sum(wd, cfg.norm)
 
     nbr_term, incomp_term, fpfh_term, _ = icp_chem_terms(pair, cfg, nn_idx)
@@ -114,8 +117,9 @@ def initial_error(pair: PairData, cfg: GoICPConfig) -> jnp.ndarray:
     """Initial incumbent at identity + worst-case chem seeds
     (jly_goicp.cpp:597-626)."""
     d = dt_distance(pair.data, pair.grid.dist, pair.grid.consts)
-    wd = pair.weights * d
+    wd = pair.weights * d                             # padding weight == 0
     if cfg.doTrim:
+        wd = jnp.where(pair.data_mask > 0, wd, jnp.inf)
         wd = trimmed_smallest(wd, pair.inlier_num)
     err = _norm_sum(wd, cfg.norm)
     nd = jnp.float32(pair.n_data)

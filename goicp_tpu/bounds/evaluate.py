@@ -63,7 +63,10 @@ def geometric_bounds(pair: PairData, cfg: GoICPConfig,
         dis = dis - rot_uncertainty[:, None, :]
     dis = jnp.maximum(dis, 0.0)
 
-    if pair.inlier_num < pair.n_data:
+    if pair.inlier_num < pair.n_data_padded:
+        # selection needed: trimming and/or padding.  Padding points carry
+        # zero weight (dis == 0) and must not be selected -> push to +inf.
+        dis = jnp.where(pair.data_mask[None, None, :] > 0, dis, jnp.inf)
         neg, _ = jax.lax.top_k(-dis, pair.inlier_num)       # (L,B,I)
         kept = -neg
     else:
@@ -90,7 +93,7 @@ def chem_corner_values(pair: PairData, cfg: GoICPConfig,
     """
     from goicp_tpu.grid.lookup import flat_index, voxel_indices
     pos = pts_rot[:, None, :, :] + corners[:, :, None, :]   # (L,Q,Nd,3)
-    nd_idx = jnp.arange(pair.n_data)[None, None, :]
+    nd_idx = jnp.arange(pair.n_data_padded)[None, None, :]
     out = {}
     if pair.fused_chem:
         # one gather per (corner, point) against per-voxel tables
@@ -128,7 +131,8 @@ def chem_corner_values(pair: PairData, cfg: GoICPConfig,
         nn_pt = jnp.take_along_axis(cpts, k_best[..., None], axis=-1)[..., 0]
         diff = jnp.abs(pair.data_nbrs[None, None, :]
                        - pair.model_nbrs[jnp.clip(nn_pt, 0)])
-        out["nbr"] = jnp.sum(diff, axis=-1).astype(jnp.float32)
+        out["nbr"] = jnp.sum(diff * pair.data_mask[None, None, :],
+                             axis=-1).astype(jnp.float32)
     return out
 
 

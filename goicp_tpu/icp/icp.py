@@ -66,8 +66,13 @@ def kabsch(q_d: jnp.ndarray, q_m: jnp.ndarray, w: jnp.ndarray | None = None):
                    static_argnames=("inlier_num", "max_iter"))
 def icp_run(data: jnp.ndarray, model: jnp.ndarray, R0: jnp.ndarray,
             t0: jnp.ndarray, *, inlier_num: int, max_iter: int,
-            err_diff: float) -> ICPResult:
-    """Run ICP from (R0, t0). inlier_num == Nd means no trimming."""
+            err_diff: float, data_mask: jnp.ndarray | None = None
+            ) -> ICPResult:
+    """Run ICP from (R0, t0). inlier_num == Nd means no trimming.
+
+    data_mask (shape-bucket padding): padded rows are forced to huge NN
+    distance so the top_k selection (inlier_num < n when padded) never
+    includes them in the correspondence set."""
     n = data.shape[0]
     trim = inlier_num < n
 
@@ -75,6 +80,8 @@ def icp_run(data: jnp.ndarray, model: jnp.ndarray, R0: jnp.ndarray,
         R, t, err, _, _, it, _ = state
         pts = data @ R.T + t[None, :]
         nn_idx, d2 = nn_correspondences(pts, model)
+        if data_mask is not None:
+            d2 = jnp.where(data_mask > 0, d2, 1.0e12)
 
         if trim:
             _, keep = jax.lax.top_k(-d2, inlier_num)      # indices of smallest

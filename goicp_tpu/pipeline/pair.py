@@ -81,7 +81,8 @@ def run_pair(model_file: str, data_file: str, cfg: GoICPConfig,
         tgt_fpfh = read_cfpfh(cfpfh_path_for_cavity(cfpfh_dir, model_file))
 
     pair = prepare_pair(src_n, tgt_n, src_props, tgt_props, cfg,
-                        src_fpfh, tgt_fpfh, nd_downsampled=nd_downsampled)
+                        src_fpfh, tgt_fpfh, nd_downsampled=nd_downsampled,
+                        bucket=True)
     reg = register(pair, cfg, verbose=verbose)
 
     R_world, t_world = rescale_transform(

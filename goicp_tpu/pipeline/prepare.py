@@ -51,9 +51,10 @@ class PairData:
     norm_data: jnp.ndarray     # (Nd,) f32 point norms (rot uncertainty)
     comp_voxel: jnp.ndarray    # (Nd, S^3) bool fused chem table, or (0,0)
     fpfh_voxel: jnp.ndarray    # (Nd, S^3) f32 fused chem table, or (0,0)
-    inlier_num: int            # static
-    n_data: int                # static
-    n_model: int               # static
+    data_mask: jnp.ndarray     # (Nd,) f32 1 for real points, 0 for padding
+    inlier_num: int            # static: inliers among REAL points
+    n_data: int                # static: REAL data point count
+    n_model: int               # static: REAL model point count
     fused_chem: bool           # static: per-voxel chem tables materialized
 
     def tree_flatten(self):
@@ -61,7 +62,7 @@ class PairData:
                     self.model_props, self.data_nbrs, self.model_nbrs,
                     self.data_fpfh, self.model_fpfh, self.grid,
                     self.compat_table, self.fpfh_table, self.norm_data,
-                    self.comp_voxel, self.fpfh_voxel)
+                    self.comp_voxel, self.fpfh_voxel, self.data_mask)
         return children, (self.inlier_num, self.n_data, self.n_model,
                           self.fused_chem)
 
@@ -69,6 +70,14 @@ class PairData:
     def tree_unflatten(cls, aux, children):
         return cls(*children, inlier_num=aux[0], n_data=aux[1],
                    n_model=aux[2], fused_chem=aux[3])
+
+    @property
+    def n_data_padded(self) -> int:
+        return self.data.shape[-2]
+
+    @property
+    def padded(self) -> bool:
+        return self.n_data_padded != self.n_data
 
 
 def _chem_tables(grid: Grid, data_props: jnp.ndarray,
@@ -110,7 +119,15 @@ def prepare_pair(source: np.ndarray, target: np.ndarray,
                  target_fpfh: np.ndarray | None = None,
                  nd_downsampled: int = 0,
                  pad_cells: int | None = None,
-                 pad_points: int | None = None) -> PairData:
+                 pad_points: int | None = None,
+                 pad_data_to: int | None = None,
+                 pad_model_to: int | None = None,
+                 bucket: bool = False) -> PairData:
+    """pad_data_to / pad_model_to: pad clouds to a static shape bucket so
+    one XLA compilation serves every pair in the bucket (essential for the
+    383-pair BO1 sweep).  Padding points sit at far-away sentinel positions
+    with zero weight/mask; every bound, trim, chem and ICP path is
+    padding-invariant (see the mask plumbing in bounds/ and icp/)."""
     """source/target: normalized clouds (f64 host); props: raw codes or
     dense indices (values < 9 treated as dense)."""
     src = np.asarray(source, dtype=np.float32)
@@ -133,6 +150,28 @@ def prepare_pair(source: np.ndarray, target: np.ndarray,
             source_fpfh = source_fpfh[:nd_downsampled]
     nd, nm = len(src), len(tgt)
 
+    if bucket:
+        # round every static dimension up to a shared bucket so one XLA
+        # compilation serves all similar-sized pairs in a sweep
+        from goicp_tpu.grid.edt import grid_geometry, round_ref_np
+        geom = grid_geometry(tgt, cfg.distTransSize,
+                             cfg.distTransExpandFactor)
+        lo = np.array([geom.x_min, geom.y_min, geom.z_min])
+        vidx = np.clip(round_ref_np((tgt - lo) * geom.scale), 0,
+                       geom.size - 1)
+        flat = (vidx[:, 2].astype(np.int64) * geom.size
+                + vidx[:, 1]) * geom.size + vidx[:, 0]
+        _, counts = np.unique(flat, return_counts=True)
+
+        def ceil_to(x, m):
+            return int(-(-x // m) * m)
+
+        pad_cells = max(pad_cells or 0, ceil_to(len(counts), 32))
+        pad_points = max(pad_points or 0, ceil_to(int(counts.max()), 8))
+        pad_data_to = max(pad_data_to or 0, ceil_to(nd, 32))
+        pad_model_to = max(pad_model_to or 0, ceil_to(nm, 32))
+
+    # grid and host-side features are computed from REAL points only
     grid = build_grid(tgt, tp, cfg.distTransSize, cfg.distTransExpandFactor,
                       pad_cells=pad_cells, pad_points=pad_points)
 
@@ -154,9 +193,35 @@ def prepare_pair(source: np.ndarray, target: np.ndarray,
         sf = np.zeros((nd, 1), np.float32)
         tf = np.zeros((nm, 1), np.float32)
 
+    # ---- shape-bucket padding (see docstring) ----
+    ndp = max(pad_data_to or nd, nd)
+    nmp = max(pad_model_to or nm, nm)
+    data_mask = np.zeros(ndp, np.float32)
+    data_mask[:nd] = 1.0
+    if ndp > nd:
+        # data padding parked far +; model padding far -, so padded points
+        # are never nearest neighbors of anything real
+        src = np.vstack([src, np.full((ndp - nd, 3), 4.0e3, np.float32)])
+        sp = np.concatenate([sp, np.zeros(ndp - nd, np.int32)])
+        weights = np.concatenate([weights, np.zeros(ndp - nd, np.float32)])
+        data_nbrs = np.concatenate([data_nbrs, np.zeros(ndp - nd, np.int32)])
+        sf = np.vstack([sf, np.zeros((ndp - nd, sf.shape[1]), np.float32)])
+    if nmp > nm:
+        tgt = np.vstack([tgt, np.full((nmp - nm, 3), -4.0e3, np.float32)])
+        tp = np.concatenate([tp, np.zeros(nmp - nm, np.int32)])
+        model_nbrs = np.concatenate([model_nbrs,
+                                     np.zeros(nmp - nm, np.int32)])
+        tf = np.vstack([tf, np.zeros((nmp - nm, tf.shape[1]), np.float32)])
+
     compat = jnp.asarray(compatibility_matrix())
     compat_table, fpfh_table = _chem_tables(
         grid, jnp.asarray(sp), jnp.asarray(sf), jnp.asarray(tf), compat)
+    if ndp > nd:
+        # padded data rows: always-compatible, zero descriptor distance, so
+        # chem counts/sums are padding-invariant
+        mask_col = jnp.asarray(data_mask[:, None] > 0)
+        compat_table = jnp.where(mask_col, compat_table, True)
+        fpfh_table = jnp.where(mask_col, fpfh_table, 0.0)
 
     # fused per-(point, voxel) chem tables: one gather instead of
     # voxel -> nearest-cell -> (point, cell) table; worth the memory only on
@@ -164,7 +229,7 @@ def prepare_pair(source: np.ndarray, target: np.ndarray,
     chem_active = (cfg.regularization > 0
                    or (cfg.regularizationFPFH > 0 and cfg.cfpfh != 0))
     s3 = cfg.distTransSize ** 3
-    fused_chem = bool(chem_active and nd * s3 <= 64_000_000)
+    fused_chem = bool(chem_active and ndp * s3 <= 64_000_000)
     if fused_chem:
         comp_voxel = compat_table[:, grid.nearest_cell]       # (Nd, S^3)
         fpfh_voxel = fpfh_table[:, grid.nearest_cell] \
@@ -182,7 +247,9 @@ def prepare_pair(source: np.ndarray, target: np.ndarray,
         data_nbrs=jnp.asarray(data_nbrs), model_nbrs=jnp.asarray(model_nbrs),
         data_fpfh=jnp.asarray(sf), model_fpfh=jnp.asarray(tf),
         grid=grid, compat_table=compat_table, fpfh_table=fpfh_table,
-        norm_data=jnp.linalg.norm(jnp.asarray(src), axis=1),
+        norm_data=jnp.linalg.norm(jnp.asarray(src), axis=1)
+        * jnp.asarray(data_mask),
         comp_voxel=comp_voxel, fpfh_voxel=fpfh_voxel,
+        data_mask=jnp.asarray(data_mask),
         inlier_num=inlier, n_data=nd, n_model=nm, fused_chem=fused_chem,
     )

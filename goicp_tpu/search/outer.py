@@ -152,7 +152,8 @@ def register(pair: PairData, cfg: GoICPConfig, verbose: bool = False
                       jnp.asarray(R0, jnp.float32),
                       jnp.asarray(t0_, jnp.float32),
                       inlier_num=pair.inlier_num,
-                      max_iter=cfg.icp_max_iter, err_diff=cfg.err_diff)
+                      max_iter=cfg.icp_max_iter, err_diff=cfg.err_diff,
+                      data_mask=pair.data_mask if pair.padded else None)
         sc = score_transform(pair, cfg, res.R, res.t, res.nn_idx)
         return res, sc
 
