@@ -39,9 +39,9 @@ class GoICPConfig:
     distTransExpandFactor: float = 2.0
 
     # ---- TPU search shape (new; no reference equivalent) ----
-    rot_batch: int = 64          # rotation cubes popped per outer step
-    trans_capacity: int = 256    # translation frontier width per rotation lane
-    trans_pop: int = 16          # translation nodes expanded per inner iteration
+    rot_batch: int = 8           # rotation cubes popped per outer step
+    trans_capacity: int = 128    # translation frontier width per rotation lane
+    trans_pop: int = 8           # translation nodes expanded per inner iteration
     inner_max_iters: int = 200   # inner BnB iteration cap per invocation
     rot_frontier_capacity: int = 500_000  # host-side outer frontier cap
     icp_max_iter: int = 200      # reference caps at 10000 (jly_icp3d.hpp:126);
