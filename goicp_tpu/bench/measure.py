@@ -1,0 +1,55 @@
+"""Inner benchmark measurement (run in a child process by bench.py).
+
+Measures batched BO1 pair-1 registration throughput and writes one JSON
+object to the path given in argv[1].
+"""
+
+import json
+import sys
+import time
+
+REF = "/root/reference"
+BATCH = 16
+
+
+def main(out_path: str):
+    from goicp_tpu.config import GoICPConfig
+    from goicp_tpu.geom.normalize import normalize_pair
+    from goicp_tpu.io.mol2 import read_mol_file
+    from goicp_tpu.io.xyz import quantize_like_file
+    from goicp_tpu.pipeline.batch_sweep import register_batch
+    from goicp_tpu.pipeline.prepare import prepare_pair
+    from goicp_tpu.search.outer import register
+    import jax
+
+    platform = jax.devices()[0].platform
+
+    cfg = GoICPConfig.from_file(f"{REF}/config.txt")
+    src, sp = read_mol_file(f"{REF}/cavities/2x86_3_cavity6.mol2")
+    tgt, tp = read_mol_file(f"{REF}/cavities/1eq2_6_cavity6.mol2")
+    norm = normalize_pair(src, tgt)
+    pair = prepare_pair(quantize_like_file(norm["source"]),
+                        quantize_like_file(norm["target"]),
+                        sp, tp, cfg, nd_downsampled=238, bucket=True)
+
+    # warm-up + parity check (single pair)
+    reg = register(pair, cfg)
+    eps = cfg.MSEThresh * 238
+    assert reg.converged and abs(reg.error - 8.45388) < eps, \
+        f"parity check failed: error={reg.error}"
+    assert reg.compatibilities == 133, reg.compatibilities
+
+    pairs = [pair] * BATCH
+    register_batch(pairs, cfg, slots=BATCH)   # warm the batched engine
+    t0 = time.time()
+    results = register_batch(pairs, cfg, slots=BATCH)
+    wall = time.time() - t0
+    assert all(abs(r.error - 8.45388) < eps for r in results)
+
+    with open(out_path, "w") as fh:
+        json.dump({"pairs_per_s": BATCH / wall, "platform": platform,
+                   "wall_s": wall, "batch": BATCH}, fh)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1])

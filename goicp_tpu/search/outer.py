@@ -87,6 +87,30 @@ class PyFrontier:
         self._heap.clear()
 
 
+def frontier_drain(frontier):
+    """Pop every node (for checkpointing) and push them back. Returns the
+    tuple of node arrays."""
+    nodes = frontier.pop(max(len(frontier), 1), np.inf)
+    frontier.push(*nodes)
+    return nodes
+
+
+def save_checkpoint(path: str, frontier, opt_state: dict) -> None:
+    """Serialize the search state (frontier + incumbent) so a preempted
+    registration resumes instead of restarting (the reference has nothing
+    like this — each pair restarts from scratch, bo1_GoICP.py:49-51)."""
+    lbs, a, b, c, w, level, ub = frontier_drain(frontier)
+    np.savez(path, lbs=lbs, a=a, b=b, c=c, w=w, level=level, ub=ub,
+             **{f"opt_{k}": v for k, v in opt_state.items()})
+
+
+def load_checkpoint(path: str):
+    z = np.load(path)
+    nodes = (z["lbs"], z["a"], z["b"], z["c"], z["w"], z["level"], z["ub"])
+    opt = {k[4:]: z[k] for k in z.files if k.startswith("opt_")}
+    return nodes, opt
+
+
 def make_frontier(capacity: int):
     """Native batched heap when the toolchain built it, Python otherwise."""
     try:
@@ -125,9 +149,14 @@ def _rotate_lanes(data: jnp.ndarray, centers: jnp.ndarray):
     return R, pts
 
 
-def register(pair: PairData, cfg: GoICPConfig, verbose: bool = False
-             ) -> RegistrationResult:
-    """Full Go-ICP global registration of pair.data onto pair.model."""
+def register(pair: PairData, cfg: GoICPConfig, verbose: bool = False,
+             checkpoint_path: str | None = None,
+             checkpoint_every: int = 100) -> RegistrationResult:
+    """Full Go-ICP global registration of pair.data onto pair.model.
+
+    checkpoint_path: if given, the search state (frontier + incumbent) is
+    saved every `checkpoint_every` outer steps and restored on restart."""
+    import os
     t0 = time.time()
     log = print if verbose else (lambda *a, **k: None)
     sse_thresh = cfg.MSEThresh * pair.inlier_num
@@ -186,7 +215,27 @@ def register(pair: PairData, cfg: GoICPConfig, verbose: bool = False
     converged = False
     min_lb_seen = 0.0
 
+    if checkpoint_path and os.path.exists(checkpoint_path):
+        nodes, opt_state = load_checkpoint(checkpoint_path)
+        if float(opt_state["error"]) < opt_error:
+            opt_error = float(opt_state["error"])
+            opt_R = opt_state["R"]
+            opt_t = opt_state["t"]
+            opt_comp = int(opt_state["comp"])
+            last_icp = bool(opt_state["last_icp"])
+        frontier.clear()
+        frontier.push(*nodes)
+        outer_steps = int(opt_state["steps"])
+        log(f"resumed from {checkpoint_path}: step {outer_steps}, "
+            f"error {opt_error:.6g}, frontier {len(frontier)}")
+
     while len(frontier) and outer_steps < cfg.max_outer_steps:
+        if (checkpoint_path and outer_steps
+                and outer_steps % checkpoint_every == 0):
+            save_checkpoint(checkpoint_path, frontier,
+                            dict(error=opt_error, R=opt_R, t=opt_t,
+                                 comp=opt_comp, last_icp=last_icp,
+                                 steps=outer_steps))
         # ---- pop a batch of rotation cubes ----
         p_lb, p_a, p_b, p_c, p_w, p_level, _ = frontier.pop(
             cfg.rot_batch, opt_error)
@@ -291,6 +340,9 @@ def register(pair: PairData, cfg: GoICPConfig, verbose: bool = False
                           child_nodes[survive, 4].astype(np.int32),
                           ubs[survive].astype(np.float32))
 
+    if checkpoint_path and os.path.exists(checkpoint_path) and \
+            (converged or not len(frontier)):
+        os.unlink(checkpoint_path)  # finished: checkpoint no longer needed
     if not len(frontier) and not converged:
         converged = True  # frontier exhausted ("Rotation Queue Empty")
     remaining_lb = frontier.min_lb if len(frontier) else opt_error
