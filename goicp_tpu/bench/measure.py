@@ -39,16 +39,28 @@ def main(out_path: str):
         f"parity check failed: error={reg.error}"
     assert reg.compatibilities == 133, reg.compatibilities
 
-    pairs = [pair] * BATCH
-    register_batch(pairs, cfg, slots=BATCH)   # warm the batched engine
-    t0 = time.time()
-    results = register_batch(pairs, cfg, slots=BATCH)
-    wall = time.time() - t0
-    assert all(abs(r.error - 8.45388) < eps for r in results)
+    if platform == "cpu":
+        # no lane-level parallel hardware: sequential is the best honest
+        # CPU number (batching just multiplies work per XLA op)
+        n = 3
+        t0 = time.time()
+        for _ in range(n):
+            r = register(pair, cfg)
+            assert abs(r.error - 8.45388) < eps
+        wall = time.time() - t0
+        batch = n
+    else:
+        pairs = [pair] * BATCH
+        register_batch(pairs, cfg, slots=BATCH)   # warm the batched engine
+        t0 = time.time()
+        results = register_batch(pairs, cfg, slots=BATCH)
+        wall = time.time() - t0
+        assert all(abs(r.error - 8.45388) < eps for r in results)
+        batch = BATCH
 
     with open(out_path, "w") as fh:
-        json.dump({"pairs_per_s": BATCH / wall, "platform": platform,
-                   "wall_s": wall, "batch": BATCH}, fh)
+        json.dump({"pairs_per_s": batch / wall, "platform": platform,
+                   "wall_s": wall, "batch": batch}, fh)
 
 
 if __name__ == "__main__":
