@@ -27,7 +27,7 @@ from goicp_tpu.pipeline.pair import run_pair
 def run_sweep(data_root: str, cfg: GoICPConfig, out_dir: str,
               kind: str = "similar", limit: int | None = None,
               start: int = 0, resume: bool = True, verbose: bool = False,
-              with_rmsd: bool = True):
+              with_rmsd: bool = True, retries: int = 1):
     """data_root: directory holding cavities/, cfpfh/, chains/, ref_proteins/
     and the BO1 tsv files (i.e. a checkout of the reference data)."""
     tsv = os.path.join(data_root, f"cavities_{kind}_BO1_clean.tsv")
@@ -49,14 +49,28 @@ def run_sweep(data_root: str, cfg: GoICPConfig, out_dir: str,
         model_file = os.path.join(data_root, "cavities", f"{tgt}_cavity6.mol2")
         n = mol2_atom_count(data_file)
         t0 = time.time()
-        res = run_pair(
-            model_file, data_file, cfg, nd_downsampled=n,
-            output_file=out_file, pair_id=k, out_dir=out_dir,
-            cfpfh_dir=os.path.join(data_root, "cfpfh"),
-            chains_dir=os.path.join(data_root, "chains") if with_rmsd else None,
-            ref_proteins_dir=os.path.join(data_root, "ref_proteins")
-            if with_rmsd else None,
-            verbose=verbose)
+        res = None
+        for attempt in range(retries + 1):
+            try:
+                res = run_pair(
+                    model_file, data_file, cfg, nd_downsampled=n,
+                    output_file=out_file, pair_id=k, out_dir=out_dir,
+                    cfpfh_dir=os.path.join(data_root, "cfpfh"),
+                    chains_dir=os.path.join(data_root, "chains")
+                    if with_rmsd else None,
+                    ref_proteins_dir=os.path.join(data_root, "ref_proteins")
+                    if with_rmsd else None,
+                    verbose=verbose)
+                break
+            except Exception as exc:   # per-pair failure isolation
+                if attempt == retries:
+                    with open(results_path, "a") as fh:
+                        fh.write(json.dumps(dict(
+                            pair=k, kind=kind, source=src, target=tgt,
+                            failed=True, error_msg=str(exc)[:500])) + "\n")
+                    res = None
+        if res is None:
+            continue
         reg = res.registration
         row = dict(pair=k, kind=kind, source=src, target=tgt,
                    error=reg.error, geom_error=reg.geom_error,
