@@ -198,9 +198,16 @@ class _SlotState:
 
 def register_batch(pairs: list[PairData], cfg: GoICPConfig,
                    slots: int | None = None,
-                   max_steps: int | None = None) -> list[RegistrationResult]:
+                   max_steps: int | None = None,
+                   mesh=None) -> list[RegistrationResult]:
     """Register many same-bucket pairs concurrently. Returns results in
-    input order."""
+    input order.
+
+    mesh: optional jax.sharding.Mesh with a `data` axis — the slot axis of
+    every stacked tensor shards across it (multi-chip pair-DP; slots should
+    be a multiple of the axis size)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
     n = len(pairs)
     slots = min(slots or n, n)
     L = cfg.rot_batch * 8
@@ -208,7 +215,17 @@ def register_batch(pairs: list[PairData], cfg: GoICPConfig,
     states: list[_SlotState | None] = [
         _SlotState(i, pairs[i], cfg) for i in range(slots)]
     results: list[RegistrationResult | None] = [None] * n
-    stacked = stack_pairs([s.pair for s in states])
+
+    if mesh is not None:
+        pair_sh = NamedSharding(mesh, P("data"))
+
+        def shard(tree):
+            return jax.device_put(tree, pair_sh)
+    else:
+        def shard(tree):
+            return tree
+
+    stacked = shard(stack_pairs([s.pair for s in states]))
 
     inner_ub = _batched_inner(cfg, False)
     inner_lb = _batched_inner(cfg, True)
@@ -237,9 +254,9 @@ def register_batch(pairs: list[PairData], cfg: GoICPConfig,
         if all(w is None for w in batch):
             break
         if restack:
-            stacked = stack_pairs([
+            stacked = shard(stack_pairs([
                 (states[si].pair if states[si] is not None else pairs[0])
-                for si in range(slots)])
+                for si in range(slots)]))
 
         centers = np.zeros((slots, L, 3), np.float32)
         widths = np.zeros((slots, L), np.float32)
@@ -253,9 +270,10 @@ def register_batch(pairs: list[PairData], cfg: GoICPConfig,
             opt[si] = states[si].opt_error
 
         R_lanes, pts_rot = _batched_rotate(stacked.data,
-                                           jnp.asarray(centers))
-        res_ub = inner_ub(stacked, pts_rot, jnp.asarray(widths),
-                          jnp.asarray(active), jnp.asarray(opt))
+                                           shard(jnp.asarray(centers)))
+        res_ub = inner_ub(stacked, pts_rot, shard(jnp.asarray(widths)),
+                          shard(jnp.asarray(active)),
+                          shard(jnp.asarray(opt)))
         ubs_all = np.asarray(res_ub.best_err, np.float64)
         nodes_all = np.asarray(res_ub.best_node, np.float64)
         terms_all = np.asarray(res_ub.ub_terms, np.float64)
@@ -272,8 +290,9 @@ def register_batch(pairs: list[PairData], cfg: GoICPConfig,
             st.adopt(ubs, nodes_all[si], terms_all[si], R_all[si])
             opt[si] = st.opt_error
 
-        res_lb = inner_lb(stacked, pts_rot, jnp.asarray(widths),
-                          jnp.asarray(active), jnp.asarray(opt))
+        res_lb = inner_lb(stacked, pts_rot, shard(jnp.asarray(widths)),
+                          shard(jnp.asarray(active)),
+                          shard(jnp.asarray(opt)))
         lbs_all = np.asarray(res_lb.lb_safe, np.float64)
         lb_evals = np.asarray(res_lb.evals)
         for si, work in enumerate(batch):

@@ -39,3 +39,20 @@ def test_register_batch_matches_sequential():
         # exact-recovery cases should both land at ~0
         if seq.error < 1e-4:
             assert br.error < 1e-3
+
+
+def test_register_batch_sharded_over_mesh():
+    """Multi-device pair-DP: identical results when the slot axis shards
+    over the mesh `data` axis."""
+    from goicp_tpu.dist.mesh import make_mesh
+    cfg = GoICPConfig(MSEThresh=0.001, regularization=0.0005, ponderation=0,
+                      distTransSize=14, rot_batch=4, trans_capacity=64,
+                      trans_pop=4, inner_max_iters=60)
+    pairs = [_pair(cfg, s) for s in range(4)]
+    mesh = make_mesh(n_data=4, n_search=2)
+    res_plain = register_batch(pairs, cfg, slots=4)
+    res_mesh = register_batch(pairs, cfg, slots=4, mesh=mesh)
+    for a, b in zip(res_plain, res_mesh):
+        eps = cfg.MSEThresh * 48
+        assert abs(a.error - b.error) <= eps + 1e-5
+        assert a.converged and b.converged
