@@ -112,6 +112,32 @@ def score_transform(pair: PairData, cfg: GoICPConfig, R: jnp.ndarray,
                  incomp_count=bnb_count)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "max_iter", "with_bnb_count"))
+def refine_transform(pair: PairData, cfg: GoICPConfig, R0: jnp.ndarray,
+                     t0: jnp.ndarray, *, max_iter: int,
+                     with_bnb_count: bool = True):
+    """One fused device program for the adopt-then-ICP path: BnB-style
+    incompatibility count at (R0, t0), ICP refinement from it, DT re-scoring
+    of the ICP result, and the ICP-correspondence incompatibility count.
+
+    Fusing these four calls into one dispatch matters doubly here: less host
+    round-tripping per adoption, and fewer chances for the flaky device
+    tunnel to stall between tiny programs.
+    Returns (bnb_count, icp_result, score, icp_incomp_count).
+    """
+    from goicp_tpu.icp.icp import icp_run
+    bnb_count = bnb_incompatibility_count(pair, cfg, R0, t0) \
+        if with_bnb_count else jnp.int32(0)
+    res = icp_run(pair.data, pair.model, R0, t0,
+                  inlier_num=pair.inlier_num, max_iter=max_iter,
+                  err_diff=cfg.err_diff,
+                  data_mask=pair.data_mask if pair.padded else None)
+    sc = score_transform(pair, cfg, res.R, res.t, res.nn_idx)
+    *_, icp_incomp = icp_chem_terms(pair, cfg, res.nn_idx)
+    return bnb_count, res, sc, icp_incomp
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def initial_error(pair: PairData, cfg: GoICPConfig) -> jnp.ndarray:
     """Initial incumbent at identity + worst-case chem seeds

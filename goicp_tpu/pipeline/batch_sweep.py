@@ -25,12 +25,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from goicp_tpu.bounds.error import (bnb_incompatibility_count,
-                                    icp_chem_terms, initial_error,
-                                    score_transform)
+from goicp_tpu.bounds.error import initial_error, refine_transform
 from goicp_tpu.config import GoICPConfig
 from goicp_tpu.dist.mesh import stack_pairs
-from goicp_tpu.icp.icp import icp_run
 from goicp_tpu.pipeline.prepare import PairData
 from goicp_tpu.search.inner import inner_bnb
 from goicp_tpu.search.outer import (RegistrationResult, SQRT3, _rotate_lanes,
@@ -78,25 +75,25 @@ class _SlotState:
         # initial ICP from identity (jly_goicp.cpp:629-661)
         self._icp_improve(np.eye(3), np.zeros(3))
 
-    def _icp_improve(self, R0, t0_):
+    def _icp_improve(self, R0, t0_, with_bnb_count=False):
+        """Fused adopt-then-ICP device call; returns the BnB-side incompat
+        count when requested."""
         cfg, pair = self.cfg, self.pair
         self.icp_runs += 1
-        res = icp_run(pair.data, pair.model, jnp.asarray(R0, jnp.float32),
-                      jnp.asarray(t0_, jnp.float32),
-                      inlier_num=pair.inlier_num, max_iter=cfg.icp_max_iter,
-                      err_diff=cfg.err_diff,
-                      data_mask=pair.data_mask if pair.padded else None)
-        sc = score_transform(pair, cfg, res.R, res.t, res.nn_idx)
+        bnb_comp, res, sc, icp_incomp = jax.device_get(refine_transform(
+            pair, cfg, jnp.asarray(R0, jnp.float32),
+            jnp.asarray(t0_, jnp.float32), max_iter=cfg.icp_max_iter,
+            with_bnb_count=with_bnb_count))
         if float(sc.error) < self.opt_error:
             self.opt_error = float(sc.error)
             self.opt_R = np.asarray(res.R, np.float64)
             self.opt_t = np.asarray(res.t, np.float64)
-            *_, icp_incomp = icp_chem_terms(pair, cfg, res.nn_idx)
             self.opt_comp = int(icp_incomp)
             self.geom = float(sc.geom)
             self.incomp = float(sc.incomp_term + sc.nbr_term)
             self.fpfh = float(sc.fpfh_term)
             self.last_icp = True
+        return int(bnb_comp)
 
     def sse_thresh(self):
         return self.cfg.MSEThresh * self.pair.inlier_num
@@ -158,11 +155,11 @@ class _SlotState:
             self.opt_t = tn[:3] + tn[3] / 2.0
             self.geom, ic, fp = ub_terms[lane]
             self.incomp, self.fpfh = float(ic), float(fp)
-            self.opt_comp = int(bnb_incompatibility_count(
-                self.pair, self.cfg, jnp.asarray(self.opt_R, jnp.float32),
-                jnp.asarray(self.opt_t, jnp.float32)))
             self.last_icp = False
-            self._icp_improve(self.opt_R, self.opt_t)
+            bnb_comp = self._icp_improve(self.opt_R, self.opt_t,
+                                         with_bnb_count=True)
+            if not self.last_icp:  # ICP did not improve: BnB count stands
+                self.opt_comp = bnb_comp
 
     def push_children(self, child_nodes, active, lbs, ubs):
         survive = active & (lbs < self.opt_error)

@@ -26,12 +26,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from goicp_tpu.bounds.error import (Score, bnb_incompatibility_count,
-                                    icp_chem_terms, initial_error,
-                                    score_transform)
+from goicp_tpu.bounds.error import initial_error, refine_transform
 from goicp_tpu.config import GoICPConfig
 from goicp_tpu.geom.rotation import rodrigues
-from goicp_tpu.icp.icp import icp_run
 from goicp_tpu.pipeline.prepare import PairData
 from goicp_tpu.search.inner import inner_bnb
 
@@ -149,6 +146,27 @@ def _rotate_lanes(data: jnp.ndarray, centers: jnp.ndarray):
     return R, pts
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _rotate_and_ub(pair: PairData, cfg: GoICPConfig, centers: jnp.ndarray,
+                   widths: jnp.ndarray, active: jnp.ndarray,
+                   opt_error: jnp.ndarray):
+    """Rodrigues + rotate-all-lanes + the full inner ub pass in one
+    dispatch."""
+    R, pts = _rotate_lanes(pair.data, centers)
+    res = inner_bnb(pair, cfg, pts, widths, active, opt_error,
+                    with_rot_uncertainty=False)
+    return R, res
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _rotate_and_lb(pair: PairData, cfg: GoICPConfig, centers: jnp.ndarray,
+                   widths: jnp.ndarray, active: jnp.ndarray,
+                   opt_error: jnp.ndarray):
+    _, pts = _rotate_lanes(pair.data, centers)
+    return inner_bnb(pair, cfg, pts, widths, active, opt_error,
+                     with_rot_uncertainty=True)
+
+
 def register(pair: PairData, cfg: GoICPConfig, verbose: bool = False,
              checkpoint_path: str | None = None,
              checkpoint_every: int = 100) -> RegistrationResult:
@@ -162,37 +180,29 @@ def register(pair: PairData, cfg: GoICPConfig, verbose: bool = False,
     sse_thresh = cfg.MSEThresh * pair.inlier_num
     nd = pair.n_data
 
-    # ---- initial incumbent at identity + worst-case chem seeds ----
-    opt_error = float(initial_error(pair, cfg))
+    # ---- initial incumbent at identity + worst-case chem seeds, plus the
+    # initial ICP from identity (jly_goicp.cpp:597-661), fetched in ONE
+    # device round trip ----
     opt_R = np.eye(3)
     opt_t = np.zeros(3)
     opt_comp = 0
-    geom_err = opt_error
     incomp_err = 0.0
     fpfh_err = 0.0
     last_icp = False
-    icp_runs = 0
+    icp_runs = 1
+    init_err_dev = initial_error(pair, cfg)
+    _, res, sc, icp_incomp = refine_transform(
+        pair, cfg, jnp.eye(3), jnp.zeros(3), max_iter=cfg.icp_max_iter,
+        with_bnb_count=False)
+    init_vals = jax.device_get((init_err_dev, res, sc, icp_incomp))
+    opt_error, res, sc, icp_incomp = init_vals
+    opt_error = float(opt_error)
+    geom_err = opt_error
     log(f"Error*: {opt_error:.6g} (Init)")
-
-    def run_icp(R0, t0_):
-        nonlocal icp_runs
-        icp_runs += 1
-        res = icp_run(pair.data, pair.model,
-                      jnp.asarray(R0, jnp.float32),
-                      jnp.asarray(t0_, jnp.float32),
-                      inlier_num=pair.inlier_num,
-                      max_iter=cfg.icp_max_iter, err_diff=cfg.err_diff,
-                      data_mask=pair.data_mask if pair.padded else None)
-        sc = score_transform(pair, cfg, res.R, res.t, res.nn_idx)
-        return res, sc
-
-    # ---- initial ICP from identity (jly_goicp.cpp:629-661) ----
-    res, sc = run_icp(opt_R, opt_t)
     if float(sc.error) < opt_error:
         opt_error = float(sc.error)
         opt_R = np.asarray(res.R, np.float64)
         opt_t = np.asarray(res.t, np.float64)
-        *_, icp_incomp = (icp_chem_terms(pair, cfg, res.nn_idx))
         opt_comp = int(icp_incomp)
         geom_err = float(sc.geom)
         incomp_err = float(sc.incomp_term + sc.nbr_term)
@@ -279,20 +289,21 @@ def register(pair: PairData, cfg: GoICPConfig, verbose: bool = False,
         centers[:n_child][~inside] = 0.0
         widths[:n_child][~inside] = 0.0
 
-        R_lanes, pts_rot = _rotate_lanes(pair.data, jnp.asarray(centers))
-
-        # ---- rotation upper bounds (zero rotation uncertainty) ----
-        res_ub = inner_bnb(pair, cfg, pts_rot, jnp.asarray(widths),
-                           jnp.asarray(active), jnp.float32(opt_error),
-                           with_rot_uncertainty=False)
-        bound_evals += int(res_ub.evals)
-        ubs = np.asarray(res_ub.best_err, np.float64)
+        # ---- rotate + rotation upper bounds (zero rotation uncertainty),
+        # one fused dispatch, one fused fetch ----
+        R_lanes, res_ub = _rotate_and_ub(
+            pair, cfg, jnp.asarray(centers), jnp.asarray(widths),
+            jnp.asarray(active), jnp.float32(opt_error))
+        R_lanes_np, (ubs, best_nodes, ub_terms, ub_evals) = jax.device_get(
+            (R_lanes, (res_ub.best_err, res_ub.best_node, res_ub.ub_terms,
+                       res_ub.evals)))
+        bound_evals += int(ub_evals)
+        ubs = np.asarray(ubs, np.float64)
         ubs[~active] = np.inf
-        best_nodes = np.asarray(res_ub.best_node, np.float64)
-        ub_terms = np.asarray(res_ub.ub_terms, np.float64)
-        R_lanes_np = np.asarray(R_lanes, np.float64)
+        R_lanes_np = np.asarray(R_lanes_np, np.float64)
 
-        # ---- adopt improvements in ascending-ub order, ICP after each ----
+        # ---- adopt improvements in ascending-ub order, ICP after each
+        # (jly_goicp.cpp:771-854); one fused device call per adoption ----
         for lane in np.argsort(ubs):
             if ubs[lane] >= opt_error:
                 break
@@ -300,20 +311,20 @@ def register(pair: PairData, cfg: GoICPConfig, verbose: bool = False,
             opt_R = R_lanes_np[lane]
             tn = best_nodes[lane]
             opt_t = tn[:3] + tn[3] / 2.0
-            geom_err, ic, fp = ub_terms[lane]
+            geom_err, ic, fp = np.asarray(ub_terms[lane], np.float64)
             incomp_err, fpfh_err = float(ic), float(fp)
-            opt_comp = int(bnb_incompatibility_count(
-                pair, cfg, jnp.asarray(opt_R, jnp.float32),
-                jnp.asarray(opt_t, jnp.float32)))
             last_icp = False
+            icp_runs += 1
+            bnb_comp, res, sc, icp_incomp = jax.device_get(refine_transform(
+                pair, cfg, jnp.asarray(opt_R, jnp.float32),
+                jnp.asarray(opt_t, jnp.float32),
+                max_iter=cfg.icp_max_iter))
+            opt_comp = int(bnb_comp)
             log(f"Error*: {opt_error:.6g} (BNB), comp {nd - opt_comp}")
-
-            res, sc = run_icp(opt_R, opt_t)
             if float(sc.error) < opt_error:
                 opt_error = float(sc.error)
                 opt_R = np.asarray(res.R, np.float64)
                 opt_t = np.asarray(res.t, np.float64)
-                *_, icp_incomp = icp_chem_terms(pair, cfg, res.nn_idx)
                 opt_comp = int(icp_incomp)
                 geom_err = float(sc.geom)
                 incomp_err = float(sc.incomp_term + sc.nbr_term)
@@ -321,12 +332,14 @@ def register(pair: PairData, cfg: GoICPConfig, verbose: bool = False,
                 last_icp = True
                 log(f"Error*: {opt_error:.6g} (ICP), comp {nd - opt_comp}")
 
-        # ---- rotation lower bounds (with rotation uncertainty) ----
-        res_lb = inner_bnb(pair, cfg, pts_rot, jnp.asarray(widths),
-                           jnp.asarray(active), jnp.float32(opt_error),
-                           with_rot_uncertainty=True)
-        bound_evals += int(res_lb.evals)
-        lbs = np.asarray(res_lb.lb_safe, np.float64)
+        # ---- rotation lower bounds (with rotation uncertainty; recomputes
+        # the lane rotation in-graph, staying a single dispatch) ----
+        res_lb = _rotate_and_lb(pair, cfg, jnp.asarray(centers),
+                                jnp.asarray(widths), jnp.asarray(active),
+                                jnp.float32(opt_error))
+        lbs, lb_evals = jax.device_get((res_lb.lb_safe, res_lb.evals))
+        bound_evals += int(lb_evals)
+        lbs = np.asarray(lbs, np.float64)
 
         # ---- push surviving children (batched; capacity drops are folded
         # into the reported gap via min_dropped_lb) ----
