@@ -25,6 +25,11 @@ def main(out_path: str):
     platform = jax.devices()[0].platform
 
     cfg = GoICPConfig.from_file(f"{REF}/config.txt")
+    if platform != "cpu":
+        # TPU: fewer, larger dispatches — per-call latency through the
+        # device tunnel dominates small programs
+        import dataclasses
+        cfg = dataclasses.replace(cfg, rot_batch=16)
     src, sp = read_mol_file(f"{REF}/cavities/2x86_3_cavity6.mol2")
     tgt, tp = read_mol_file(f"{REF}/cavities/1eq2_6_cavity6.mol2")
     norm = normalize_pair(src, tgt)

@@ -29,19 +29,16 @@ from goicp_tpu.bounds.error import initial_error, refine_transform
 from goicp_tpu.config import GoICPConfig
 from goicp_tpu.dist.mesh import stack_pairs
 from goicp_tpu.pipeline.prepare import PairData
-from goicp_tpu.search.inner import inner_bnb
-from goicp_tpu.search.outer import (RegistrationResult, SQRT3, _rotate_lanes,
-                                    make_frontier)
+from goicp_tpu.search.outer import (RegistrationResult, SQRT3,
+                                    make_frontier, step_bounds)
 
 
 @functools.lru_cache(maxsize=16)
-def _batched_inner(cfg: GoICPConfig, with_ru: bool):
-    f = functools.partial(inner_bnb, with_rot_uncertainty=with_ru)
+def _batched_step(cfg: GoICPConfig):
+    """vmap over the pair-slot axis of the fused one-dispatch outer-step
+    bound computation (search/outer.step_bounds)."""
     return jax.jit(jax.vmap(
-        lambda pair, pts, w, act, opt: f(pair, cfg, pts, w, act, opt)))
-
-
-_batched_rotate = jax.jit(jax.vmap(_rotate_lanes, in_axes=(0, 0)))
+        lambda pair, c, w, act, opt: step_bounds(pair, cfg, c, w, act, opt)))
 
 
 class _SlotState:
@@ -224,8 +221,7 @@ def register_batch(pairs: list[PairData], cfg: GoICPConfig,
 
     stacked = shard(stack_pairs([s.pair for s in states]))
 
-    inner_ub = _batched_inner(cfg, False)
-    inner_lb = _batched_inner(cfg, True)
+    step = _batched_step(cfg)
 
     steps = 0
     while steps < (max_steps or cfg.max_outer_steps):
@@ -266,40 +262,29 @@ def register_batch(pairs: list[PairData], cfg: GoICPConfig,
             centers[si], widths[si], active[si], child_nodes[si] = work
             opt[si] = states[si].opt_error
 
-        R_lanes, pts_rot = _batched_rotate(stacked.data,
-                                           shard(jnp.asarray(centers)))
-        res_ub = inner_ub(stacked, pts_rot, shard(jnp.asarray(widths)),
-                          shard(jnp.asarray(active)),
-                          shard(jnp.asarray(opt)))
-        ubs_all = np.asarray(res_ub.best_err, np.float64)
-        nodes_all = np.asarray(res_ub.best_node, np.float64)
-        terms_all = np.asarray(res_ub.ub_terms, np.float64)
-        R_all = np.asarray(R_lanes, np.float64)
-        evals_all = np.asarray(res_ub.evals)
+        # one fused device dispatch for ALL slots' rotate+ub+lb work
+        R_lanes, res_ub, res_lb = step(
+            stacked, shard(jnp.asarray(centers)), shard(jnp.asarray(widths)),
+            shard(jnp.asarray(active)), shard(jnp.asarray(opt)))
+        (R_all, ubs_all, nodes_all, terms_all, ub_evals, lbs_all,
+         lb_evals) = jax.device_get(
+            (R_lanes, res_ub.best_err, res_ub.best_node, res_ub.ub_terms,
+             res_ub.evals, res_lb.lb_safe, res_lb.evals))
+        ubs_all = np.asarray(ubs_all, np.float64)
+        nodes_all = np.asarray(nodes_all, np.float64)
+        terms_all = np.asarray(terms_all, np.float64)
+        R_all = np.asarray(R_all, np.float64)
+        lbs_all = np.asarray(lbs_all, np.float64)
 
         for si, work in enumerate(batch):
             if work is None:
                 continue
             st = states[si]
-            st.bound_evals += int(evals_all[si])
+            st.bound_evals += int(ub_evals[si]) + int(lb_evals[si])
             ubs = ubs_all[si].copy()
             ubs[~active[si]] = np.inf
             st.adopt(ubs, nodes_all[si], terms_all[si], R_all[si])
-            opt[si] = st.opt_error
-
-        res_lb = inner_lb(stacked, pts_rot, shard(jnp.asarray(widths)),
-                          shard(jnp.asarray(active)),
-                          shard(jnp.asarray(opt)))
-        lbs_all = np.asarray(res_lb.lb_safe, np.float64)
-        lb_evals = np.asarray(res_lb.evals)
-        for si, work in enumerate(batch):
-            if work is None:
-                continue
-            states[si].bound_evals += int(lb_evals[si])
-            ubs = ubs_all[si].copy()
-            ubs[~active[si]] = np.inf
-            states[si].push_children(child_nodes[si], active[si],
-                                    lbs_all[si], ubs)
+            st.push_children(child_nodes[si], active[si], lbs_all[si], ubs)
 
     for st in states:
         if st is not None:

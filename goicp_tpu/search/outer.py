@@ -167,6 +167,28 @@ def _rotate_and_lb(pair: PairData, cfg: GoICPConfig, centers: jnp.ndarray,
                      with_rot_uncertainty=True)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def step_bounds(pair: PairData, cfg: GoICPConfig, centers: jnp.ndarray,
+                widths: jnp.ndarray, active: jnp.ndarray,
+                opt_error: jnp.ndarray):
+    """One outer step's entire device work in a single dispatch: rotate all
+    lanes, inner ub pass, then inner lb pass seeded with the in-graph
+    incumbent min(opt_error, best ub found).  The best ub is an ACHIEVED
+    error (the ub of a translation node is the exact error at its center,
+    jly_goicp.cpp:331-401 with zero uncertainty), so seeding lb with it is
+    valid; the reference's post-ICP incumbent is at most slightly tighter
+    and only affects the lb pass's internal early stop, never bound
+    validity.  Returns (R_lanes, res_ub, res_lb)."""
+    R, pts = _rotate_lanes(pair.data, centers)
+    res_ub = inner_bnb(pair, cfg, pts, widths, active, opt_error,
+                       with_rot_uncertainty=False)
+    incumbent = jnp.minimum(
+        opt_error, jnp.min(jnp.where(active, res_ub.best_err, jnp.inf)))
+    res_lb = inner_bnb(pair, cfg, pts, widths, active, incumbent,
+                       with_rot_uncertainty=True)
+    return R, res_ub, res_lb
+
+
 def register(pair: PairData, cfg: GoICPConfig, verbose: bool = False,
              checkpoint_path: str | None = None,
              checkpoint_every: int = 100) -> RegistrationResult:
@@ -289,17 +311,19 @@ def register(pair: PairData, cfg: GoICPConfig, verbose: bool = False,
         centers[:n_child][~inside] = 0.0
         widths[:n_child][~inside] = 0.0
 
-        # ---- rotate + rotation upper bounds (zero rotation uncertainty),
-        # one fused dispatch, one fused fetch ----
-        R_lanes, res_ub = _rotate_and_ub(
+        # ---- the whole step's bound work (rotate + ub pass + lb pass) in
+        # ONE device dispatch, fetched with one device_get ----
+        R_lanes, res_ub, res_lb = step_bounds(
             pair, cfg, jnp.asarray(centers), jnp.asarray(widths),
             jnp.asarray(active), jnp.float32(opt_error))
-        R_lanes_np, (ubs, best_nodes, ub_terms, ub_evals) = jax.device_get(
-            (R_lanes, (res_ub.best_err, res_ub.best_node, res_ub.ub_terms,
-                       res_ub.evals)))
-        bound_evals += int(ub_evals)
+        (R_lanes_np, ubs, best_nodes, ub_terms, ub_evals, lbs, lb_evals) = \
+            jax.device_get((R_lanes, res_ub.best_err, res_ub.best_node,
+                            res_ub.ub_terms, res_ub.evals, res_lb.lb_safe,
+                            res_lb.evals))
+        bound_evals += int(ub_evals) + int(lb_evals)
         ubs = np.asarray(ubs, np.float64)
         ubs[~active] = np.inf
+        lbs = np.asarray(lbs, np.float64)
         R_lanes_np = np.asarray(R_lanes_np, np.float64)
 
         # ---- adopt improvements in ascending-ub order, ICP after each
@@ -331,15 +355,6 @@ def register(pair: PairData, cfg: GoICPConfig, verbose: bool = False,
                 fpfh_err = float(sc.fpfh_term)
                 last_icp = True
                 log(f"Error*: {opt_error:.6g} (ICP), comp {nd - opt_comp}")
-
-        # ---- rotation lower bounds (with rotation uncertainty; recomputes
-        # the lane rotation in-graph, staying a single dispatch) ----
-        res_lb = _rotate_and_lb(pair, cfg, jnp.asarray(centers),
-                                jnp.asarray(widths), jnp.asarray(active),
-                                jnp.float32(opt_error))
-        lbs, lb_evals = jax.device_get((res_lb.lb_safe, res_lb.evals))
-        bound_evals += int(lb_evals)
-        lbs = np.asarray(lbs, np.float64)
 
         # ---- push surviving children (batched; capacity drops are folded
         # into the reported gap via min_dropped_lb) ----
