@@ -18,8 +18,6 @@ equivalent of the reference's memoization).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -29,7 +29,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from goicp_tpu.config import GoICPConfig
 from goicp_tpu.pipeline.prepare import PairData
-from goicp_tpu.search.inner import InnerResult, inner_bnb
+from goicp_tpu.search.inner import inner_bnb
 
 
 def make_mesh(n_data: int = 1, n_search: int | None = None,

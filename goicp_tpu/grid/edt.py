@@ -31,8 +31,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from goicp_tpu.chem.properties import NUM_PROPS
-
 _VOXEL_CHUNK = 2048
 _CELL_CHUNK = 4096
 _FAR = 1.0e9  # sentinel coordinate for cell padding

@@ -15,7 +15,6 @@ shards the same stacked computation over a multi-chip `data` axis.
 
 from __future__ import annotations
 
-import dataclasses
 import functools
 import math
 import time

@@ -9,8 +9,6 @@ CPU).
 
 from __future__ import annotations
 
-import dataclasses
-
 import numpy as np
 
 from goicp_tpu.config import GoICPConfig

@@ -13,7 +13,6 @@ and the RMSD evaluation wired in-line instead of being commented out.
 
 from __future__ import annotations
 
-import dataclasses
 import json
 import os
 import time

@@ -30,7 +30,6 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from goicp_tpu.bounds.evaluate import (chem_bounds_from_lattice,
                                        chem_corner_values, geometric_bounds,
