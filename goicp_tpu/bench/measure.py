@@ -17,8 +17,9 @@ def main(out_path: str):
     from goicp_tpu.geom.normalize import normalize_pair
     from goicp_tpu.io.mol2 import read_mol_file
     from goicp_tpu.io.xyz import quantize_like_file
-    from goicp_tpu.pipeline.batch_sweep import register_batch
     from goicp_tpu.pipeline.prepare import prepare_pair
+    from goicp_tpu.search.device_engine import (register_device,
+                                                register_device_batch)
     from goicp_tpu.search.outer import register
     import jax
 
@@ -37,14 +38,16 @@ def main(out_path: str):
                         quantize_like_file(norm["target"]),
                         sp, tp, cfg, nd_downsampled=238, bucket=True)
 
-    # warm-up + parity check (single pair)
-    reg = register(pair, cfg)
+    # warm-up + parity check (single pair, fully device-side engine:
+    # ONE dispatch per registration)
+    import jax as _jax
+    res = _jax.device_get(register_device(pair, cfg))
     eps = cfg.MSEThresh * 238
-    assert reg.converged and abs(reg.error - 8.45388) < eps, \
-        f"parity check failed: error={reg.error}"
+    assert bool(res.converged) and abs(float(res.error) - 8.45388) < eps, \
+        f"parity check failed: error={float(res.error)}"
     # compat count can flip by one correspondence across backends (f32
     # matmul tie-breaks); the golden value is 133
-    assert abs(reg.compatibilities - 133) <= 2, reg.compatibilities
+    assert abs((238 - int(res.opt_comp)) - 133) <= 2, int(res.opt_comp)
 
     if platform == "cpu":
         # no lane-level parallel hardware: sequential is the best honest
@@ -58,11 +61,12 @@ def main(out_path: str):
         batch = n
     else:
         pairs = [pair] * BATCH
-        register_batch(pairs, cfg, slots=BATCH)   # warm the batched engine
+        register_device_batch(pairs, cfg)   # warm (compile) the batch
         t0 = time.time()
-        results = register_batch(pairs, cfg, slots=BATCH)
+        out = register_device_batch(pairs, cfg)
         wall = time.time() - t0
-        assert all(abs(r.error - 8.45388) < eps for r in results)
+        import numpy as _np
+        assert bool(_np.all(_np.abs(_np.asarray(out.error) - 8.45388) < eps))
         batch = BATCH
 
     with open(out_path, "w") as fh:

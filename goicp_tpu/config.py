@@ -44,6 +44,7 @@ class GoICPConfig:
     trans_pop: int = 8           # translation nodes expanded per inner iteration
     inner_max_iters: int = 200   # inner BnB iteration cap per invocation
     rot_frontier_capacity: int = 500_000  # host-side outer frontier cap
+    device_rot_capacity: int = 2048  # device-engine outer frontier cap
     icp_max_iter: int = 200      # reference caps at 10000 (jly_icp3d.hpp:126);
                                  # ICP converges in <50 iters on these clouds
     max_outer_steps: int = 100_000

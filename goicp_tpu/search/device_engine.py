@@ -1,0 +1,240 @@
+"""Fully device-side Go-ICP registration: one dispatch per registration.
+
+The host-coordinated engine (search/outer.py) issues one device program per
+outer step; through a high-latency device link the dispatch overhead
+dominates 300-point cavity searches.  This engine moves the ENTIRE search
+on-device: the rotation frontier is a fixed-capacity array inside the same
+`lax.while_loop` that runs the lane-batched inner translation BnB, ICP
+refinement of the best candidate, incumbent adoption, pruning, and frontier
+merging.  A full registration (or, vmapped, a whole batch of them) is ONE
+XLA program execution.
+
+Epsilon-optimality mirrors search/inner.py: rotation nodes are only
+discarded when lb >= incumbent or lb > incumbent - SSEThresh (the
+reference's own termination rule, jly_goicp.cpp:685), and capacity
+overflows fold the minimum dropped lb into the reported gap.
+
+Semantic deltas vs the host engine (both epsilon-equivalent):
+  * ICP runs every outer iteration on the best ub candidate of that batch
+    (the reference ICPs on every improvement, jly_goicp.cpp:771-854;
+    running it unconditionally only ever tightens the incumbent);
+  * the inner lb pass is seeded with min(incumbent, best candidate ub)
+    rather than the post-ICP incumbent (valid: the candidate ub is an
+    achieved error).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from goicp_tpu.bounds.error import (icp_chem_terms, initial_error,
+                                    score_transform,
+                                    bnb_incompatibility_count)
+from goicp_tpu.config import GoICPConfig
+from goicp_tpu.geom.rotation import rodrigues
+from goicp_tpu.icp.icp import icp_run
+from goicp_tpu.pipeline.prepare import PairData
+from goicp_tpu.search.inner import inner_bnb
+
+SQRT3 = 3.0 ** 0.5
+INF = jnp.inf
+
+
+class DeviceResult(NamedTuple):
+    error: jnp.ndarray        # scalar
+    R: jnp.ndarray            # (3,3)
+    t: jnp.ndarray            # (3,)
+    opt_comp: jnp.ndarray     # incompatibility count at the optimum
+    terms: jnp.ndarray        # (3,) [geom, incomp(+nbr), fpfh]
+    last_icp: jnp.ndarray     # bool
+    outer_iters: jnp.ndarray
+    evals: jnp.ndarray
+    gap: jnp.ndarray          # epsilon bound on suboptimality
+    converged: jnp.ndarray    # bool
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def register_device(pair: PairData, cfg: GoICPConfig) -> DeviceResult:
+    Cr = cfg.device_rot_capacity
+    Pr = cfg.rot_batch
+    L = Pr * 8
+    sse = jnp.float32(cfg.MSEThresh * pair.inlier_num)
+
+    # ---- initial incumbent: identity error + chem seeds, then ICP ----
+    init_err = initial_error(pair, cfg)
+    icp0 = icp_run(pair.data, pair.model, jnp.eye(3), jnp.zeros(3),
+                   inlier_num=pair.inlier_num, max_iter=cfg.icp_max_iter,
+                   err_diff=cfg.err_diff,
+                   data_mask=pair.data_mask if pair.padded else None)
+    sc0 = score_transform(pair, cfg, icp0.R, icp0.t, icp0.nn_idx)
+    *_, icp0_incomp = icp_chem_terms(pair, cfg, icp0.nn_idx)
+    icp0_incomp = icp0_incomp.astype(jnp.int32)
+    better0 = sc0.error < init_err
+    opt_err0 = jnp.where(better0, sc0.error, init_err)
+    opt_R0 = jnp.where(better0, icp0.R, jnp.eye(3))
+    opt_t0 = jnp.where(better0, icp0.t, jnp.zeros(3))
+    comp0 = jnp.where(better0, icp0_incomp, 0)
+    terms0 = jnp.where(better0,
+                       jnp.stack([sc0.geom, sc0.incomp_term + sc0.nbr_term,
+                                  sc0.fpfh_term]),
+                       jnp.stack([init_err, 0.0, 0.0]))
+
+    # ---- rotation frontier: root cube ----
+    root = jnp.array([cfg.rotMinX, cfg.rotMinY, cfg.rotMinZ, cfg.rotWidth],
+                     jnp.float32)
+    fr_nodes0 = jnp.zeros((Cr, 4), jnp.float32).at[0].set(root)
+    fr_lbs0 = jnp.full((Cr,), INF, jnp.float32).at[0].set(0.0)
+
+    child_off = jnp.asarray(
+        [[j & 1, (j >> 1) & 1, (j >> 2) & 1] for j in range(8)], jnp.float32)
+
+    state0 = dict(
+        fr_nodes=fr_nodes0, fr_lbs=fr_lbs0,
+        opt_err=opt_err0, opt_R=opt_R0, opt_t=opt_t0,
+        comp=comp0.astype(jnp.int32), terms=terms0,
+        last_icp=better0, min_dropped=jnp.float32(INF),
+        it=jnp.int32(0), evals=jnp.int32(0),
+        converged=jnp.bool_(False), final_lb=jnp.float32(0.0),
+    )
+
+    def cond(s):
+        return (~s["converged"]) & (s["it"] < cfg.max_outer_steps)
+
+    def body(s):
+        # ---- pop the Pr lowest-lb rotation nodes ----
+        neg, idx = jax.lax.top_k(-s["fr_lbs"], Pr)
+        pop_lb = -neg
+        min_lb = pop_lb[0]
+        converged = jnp.isinf(min_lb) | (s["opt_err"] - min_lb <= sse)
+        final_lb = jnp.where(converged & ~s["converged"], min_lb,
+                             s["final_lb"])
+        parents = s["fr_nodes"][idx]                       # (Pr, 4)
+        fr_lbs = s["fr_lbs"].at[idx].set(INF)
+        # per-node threshold discard (safe, see module docstring)
+        expand = jnp.isfinite(pop_lb) \
+            & (s["opt_err"] - pop_lb > sse) & ~converged   # (Pr,)
+
+        # ---- expand 8 children per parent, pi-ball filter ----
+        cw = parents[:, 3:4] / 2.0                         # (Pr,1)
+        cxyz = parents[:, None, 0:3] + child_off[None] * cw[:, None]
+        centers = (cxyz + cw[:, None] / 2.0).reshape(L, 3)
+        widths = jnp.broadcast_to(cw[:, None], (Pr, 8, 1)).reshape(L)
+        child_nodes = jnp.concatenate(
+            [cxyz.reshape(L, 3), widths[:, None]], axis=1)  # (L,4)
+        inside = (jnp.linalg.norm(centers, axis=1)
+                  - SQRT3 * widths / 2.0) <= jnp.pi
+        active = inside & jnp.repeat(expand, 8)
+
+        # ---- rotate + inner ub/lb passes ----
+        R_lanes = rodrigues(centers)                       # (L,3,3)
+        pts = jnp.einsum("lij,nj->lni", R_lanes, pair.data,
+                         precision=jax.lax.Precision.HIGHEST)
+        res_ub = inner_bnb(pair, cfg, pts, widths, active, s["opt_err"],
+                           with_rot_uncertainty=False)
+        ubs = jnp.where(active, res_ub.best_err, INF)
+        best_lane = jnp.argmin(ubs)
+        cand_ub = ubs[best_lane]
+        incumbent = jnp.minimum(s["opt_err"], cand_ub)
+        res_lb = inner_bnb(pair, cfg, pts, widths, active, incumbent,
+                           with_rot_uncertainty=True)
+
+        # ---- candidate adoption (BnB) + ICP refinement ----
+        cand_R = R_lanes[best_lane]
+        tn = res_ub.best_node[best_lane]
+        cand_t = tn[:3] + tn[3] / 2.0
+        cand_terms = res_ub.ub_terms[best_lane]
+        bnb_improved = cand_ub < s["opt_err"]
+
+        icp = icp_run(pair.data, pair.model, cand_R, cand_t,
+                      inlier_num=pair.inlier_num, max_iter=cfg.icp_max_iter,
+                      err_diff=cfg.err_diff,
+                      data_mask=pair.data_mask if pair.padded else None)
+        sc = score_transform(pair, cfg, icp.R, icp.t, icp.nn_idx)
+        *_, icp_incomp = icp_chem_terms(pair, cfg, icp.nn_idx)
+        icp_improved = sc.error < incumbent
+
+        # adopt: ICP result when it beats the candidate; else the candidate
+        opt_err = jnp.where(icp_improved, sc.error,
+                            jnp.where(bnb_improved, cand_ub, s["opt_err"]))
+        opt_R = jnp.where(icp_improved, icp.R,
+                          jnp.where(bnb_improved, cand_R, s["opt_R"]))
+        opt_t = jnp.where(icp_improved, icp.t,
+                          jnp.where(bnb_improved, cand_t, s["opt_t"]))
+        bnb_comp = bnb_incompatibility_count(pair, cfg, cand_R, cand_t)
+        comp = jnp.where(icp_improved, icp_incomp.astype(jnp.int32),
+                         jnp.where(bnb_improved, bnb_comp.astype(jnp.int32),
+                                   s["comp"])).astype(jnp.int32)
+        terms = jnp.where(
+            icp_improved,
+            jnp.stack([sc.geom, sc.incomp_term + sc.nbr_term,
+                       sc.fpfh_term]),
+            jnp.where(bnb_improved, cand_terms, s["terms"]))
+        last_icp = jnp.where(icp_improved, True,
+                             jnp.where(bnb_improved, False, s["last_icp"]))
+
+        # ---- prune + merge children into the frontier ----
+        lbs_new = jnp.where(active & (res_lb.lb_safe < opt_err),
+                            res_lb.lb_safe, INF)
+        all_lbs = jnp.concatenate([fr_lbs, lbs_new])
+        all_nodes = jnp.concatenate([s["fr_nodes"], child_nodes])
+        order = jnp.argsort(all_lbs)
+        keep_lbs = all_lbs[order[:Cr]]
+        keep_nodes = all_nodes[order[:Cr]]
+        dropped = all_lbs[order[Cr:]]
+        min_drop = jnp.min(jnp.where(jnp.isfinite(dropped), dropped, INF))
+        # also prune kept nodes against the new incumbent
+        keep_lbs = jnp.where(keep_lbs >= opt_err, INF, keep_lbs)
+
+        # frozen when converged
+        keep = lambda new, old: jnp.where(s["converged"] | converged,
+                                          old, new)
+        return dict(
+            fr_nodes=keep(keep_nodes, s["fr_nodes"]),
+            fr_lbs=keep(keep_lbs, s["fr_lbs"]),
+            opt_err=keep(opt_err, s["opt_err"]),
+            opt_R=keep(opt_R, s["opt_R"]),
+            opt_t=keep(opt_t, s["opt_t"]),
+            comp=keep(comp, s["comp"]),
+            terms=keep(terms, s["terms"]),
+            last_icp=keep(last_icp, s["last_icp"]),
+            min_dropped=keep(jnp.minimum(s["min_dropped"], min_drop),
+                             s["min_dropped"]),
+            it=s["it"] + 1,
+            evals=s["evals"] + keep(res_ub.evals + res_lb.evals, 0),
+            converged=s["converged"] | converged,
+            final_lb=final_lb,
+        )
+
+    s = jax.lax.while_loop(cond, body, state0)
+    remaining = jnp.minimum(jnp.min(s["fr_lbs"]), s["min_dropped"])
+    bound = jnp.minimum(jnp.where(s["converged"], s["final_lb"], remaining),
+                        s["opt_err"])
+    # when capacity dropped nodes below the incumbent, the true gap may
+    # exceed sse; report it honestly
+    gap = jnp.maximum(0.0, s["opt_err"] - bound)
+    return DeviceResult(error=s["opt_err"], R=s["opt_R"], t=s["opt_t"],
+                        opt_comp=s["comp"], terms=s["terms"],
+                        last_icp=s["last_icp"], outer_iters=s["it"],
+                        evals=s["evals"], gap=gap,
+                        converged=s["converged"])
+
+
+@functools.lru_cache(maxsize=16)
+def _batched_device(cfg: GoICPConfig):
+    return jax.jit(jax.vmap(lambda pair: register_device(pair, cfg)))
+
+
+def register_device_batch(pairs, cfg: GoICPConfig, mesh=None):
+    """Register a same-bucket batch of pairs as ONE device program (the
+    while_loop runs until every pair converges).  With a mesh, the pair
+    axis shards over `data` (multi-chip pair DP)."""
+    from goicp_tpu.dist.mesh import stack_pairs
+    stacked = stack_pairs(list(pairs))
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        stacked = jax.device_put(stacked, NamedSharding(mesh, P("data")))
+    return jax.device_get(_batched_device(cfg)(stacked))
