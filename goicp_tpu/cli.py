@@ -29,6 +29,7 @@ def main(argv=None):
     p.add_argument("--cfpfh-dir", default=None)
     p.add_argument("--chains-dir", default=None)
     p.add_argument("--ref-proteins-dir", default=None)
+    p.add_argument("--engine", choices=["host", "device"], default="host")
     p.add_argument("-q", "--quiet", action="store_true")
 
     b = sub.add_parser("run-bo1", help="run the BO1 sweep")
@@ -40,6 +41,7 @@ def main(argv=None):
     b.add_argument("--limit", type=int, default=None)
     b.add_argument("--start", type=int, default=0)
     b.add_argument("--no-rmsd", action="store_true")
+    b.add_argument("--engine", choices=["host", "device"], default="host")
     b.add_argument("-q", "--quiet", action="store_true")
 
     d = sub.add_parser("run-demo", help="run the bunny/random demo")
@@ -61,7 +63,7 @@ def main(argv=None):
                        out_dir=args.out_dir, cfpfh_dir=args.cfpfh_dir,
                        chains_dir=args.chains_dir,
                        ref_proteins_dir=args.ref_proteins_dir,
-                       verbose=not args.quiet)
+                       verbose=not args.quiet, engine=args.engine)
         reg = res.registration
         print(f"Error: {reg.error:.6g}")
         print(f"Compatibilities: {reg.compatibilities}")
@@ -74,7 +76,8 @@ def main(argv=None):
         cfg = GoICPConfig.from_file(args.config)
         run_sweep(args.data_root, cfg, args.out_dir, kind=args.kind,
                   limit=args.limit, start=args.start,
-                  with_rmsd=not args.no_rmsd, verbose=not args.quiet)
+                  with_rmsd=not args.no_rmsd, verbose=not args.quiet,
+                  engine=args.engine)
         return 0
 
     if args.cmd == "run-demo":

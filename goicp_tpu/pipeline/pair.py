@@ -51,8 +51,11 @@ def run_pair(model_file: str, data_file: str, cfg: GoICPConfig,
              cfpfh_dir: str | None = None, chains_dir: str | None = None,
              ref_proteins_dir: str | None = None,
              write_normalized: bool = True,
-             verbose: bool = False) -> PairRunResult:
-    """model_file: target cavity .mol2; data_file: source cavity .mol2."""
+             verbose: bool = False, engine: str = "host") -> PairRunResult:
+    """model_file: target cavity .mol2; data_file: source cavity .mol2.
+
+    engine: "host" (streaming outer loop, checkpointable, verbose logs) or
+    "device" (the whole search as one XLA program — fastest on TPU)."""
     src_coords, src_props = read_mol_file(data_file)
     tgt_coords, tgt_props = read_mol_file(model_file)
     norm = normalize_pair(src_coords, tgt_coords)
@@ -83,7 +86,10 @@ def run_pair(model_file: str, data_file: str, cfg: GoICPConfig,
     pair = prepare_pair(src_n, tgt_n, src_props, tgt_props, cfg,
                         src_fpfh, tgt_fpfh, nd_downsampled=nd_downsampled,
                         bucket=True)
-    reg = register(pair, cfg, verbose=verbose)
+    if engine == "device":
+        reg = register_with_device_engine(pair, cfg)
+    else:
+        reg = register(pair, cfg, verbose=verbose)
 
     R_world, t_world = rescale_transform(
         reg.R, reg.t, norm["scale"], norm["source_mean"], norm["target_mean"])
@@ -119,3 +125,28 @@ def run_pair(model_file: str, data_file: str, cfg: GoICPConfig,
     return PairRunResult(registration=reg, R=reg.R, t=reg.t,
                          R_world=R_world, t_world=t_world,
                          scale=norm["scale"], rmsd=rmsd_val)
+
+
+def register_with_device_engine(pair, cfg) -> RegistrationResult:
+    """Run search/device_engine.register_device and adapt its result to the
+    host engine's RegistrationResult."""
+    import time
+
+    import jax
+    import numpy as np
+
+    from goicp_tpu.search.device_engine import register_device
+
+    t0 = time.time()
+    res = jax.device_get(register_device(pair, cfg))
+    terms = np.asarray(res.terms, np.float64)
+    comp = int(res.opt_comp)
+    return RegistrationResult(
+        error=float(res.error), R=np.asarray(res.R, np.float64),
+        t=np.asarray(res.t, np.float64), optComp=comp,
+        compatibilities=pair.n_data - comp,
+        geom_error=float(terms[0]), incomp_error=float(terms[1]),
+        fpfh_error=float(terms[2]), last_icp=bool(res.last_icp),
+        time_s=time.time() - t0, outer_steps=int(res.outer_iters),
+        bound_evals=int(res.evals), icp_runs=int(res.outer_iters) + 1,
+        gap=float(res.gap), converged=bool(res.converged))

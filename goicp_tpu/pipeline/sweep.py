@@ -26,7 +26,8 @@ from goicp_tpu.pipeline.pair import run_pair
 def run_sweep(data_root: str, cfg: GoICPConfig, out_dir: str,
               kind: str = "similar", limit: int | None = None,
               start: int = 0, resume: bool = True, verbose: bool = False,
-              with_rmsd: bool = True, retries: int = 1):
+              with_rmsd: bool = True, retries: int = 1,
+              engine: str = "host"):
     """data_root: directory holding cavities/, cfpfh/, chains/, ref_proteins/
     and the BO1 tsv files (i.e. a checkout of the reference data)."""
     tsv = os.path.join(data_root, f"cavities_{kind}_BO1_clean.tsv")
@@ -59,7 +60,7 @@ def run_sweep(data_root: str, cfg: GoICPConfig, out_dir: str,
                     if with_rmsd else None,
                     ref_proteins_dir=os.path.join(data_root, "ref_proteins")
                     if with_rmsd else None,
-                    verbose=verbose)
+                    verbose=verbose, engine=engine)
                 break
             except Exception as exc:   # per-pair failure isolation
                 if attempt == retries:
