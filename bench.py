@@ -5,27 +5,49 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline: the reference C++ binary registers BO1 pair 1 (2x86_3 -> 1eq2_6,
 238 data points, DT 20^3, MSEThresh 0.01, regularization 0.0005,
 ponderation 1) in 0.703125 s single-core (output/similar1.txt:1) =>
-1.4222 pairs/s.  We measure a BATCH of 16 same-bucket registrations run
-concurrently by the batched engine (pipeline/batch_sweep.py), wall-clocked
-after a warm-up so XLA compiles are excluded (the 383-pair sweep amortizes
-them the same way); correctness is asserted against the golden
-error/compat count inside the measurement.
+1.4222 pairs/s.  The measurement (goicp_tpu/bench/measure.py) runs the
+fully device-side engine on a warmed batch of 16 registrations, with the
+golden error/compat parity asserted inside.
 
-The measurement runs in a child process with a watchdog: the axon TPU
-tunnel in this environment can stall mid-stream, in which case we retry,
-and finally fall back to the CPU backend (reported honestly via the same
-metric; the child records which platform ran).
+Robustness: the axon TPU tunnel in this environment can stall for tens of
+minutes on the first device interaction.  So we (1) first take a guaranteed
+CPU measurement in an axon-free child, (2) then attempt the TPU child under
+a watchdog, and (3) print the best available result — also on SIGTERM, so a
+driver-imposed timeout still yields a valid line.
 """
 
 import json
 import os
+import signal
 import subprocess
 import sys
 import tempfile
-import time
 
 BASELINE_PAIRS_PER_S = 1.0 / 0.703125
 HERE = os.path.dirname(os.path.abspath(__file__))
+
+_best = None
+_printed = False
+
+
+def _emit_and_exit(*_args):
+    global _printed
+    if _printed:
+        os._exit(0)
+    _printed = True
+    if _best is None:
+        print(json.dumps({"metric": "bo1_registration_throughput_1chip",
+                          "value": 0.0, "unit": "pairs/s",
+                          "vs_baseline": 0.0}), flush=True)
+    else:
+        v = _best["pairs_per_s"]
+        print(json.dumps({
+            "metric": "bo1_registration_throughput_1chip",
+            "value": round(v, 4),
+            "unit": "pairs/s",
+            "vs_baseline": round(v / BASELINE_PAIRS_PER_S, 3),
+        }), flush=True)
+    os._exit(0)
 
 
 def _run_child(env_overrides, timeout_s):
@@ -56,30 +78,23 @@ def _run_child(env_overrides, timeout_s):
 
 
 def main():
-    result = None
-    # TPU attempts (the axon claim can need a cool-down after a stall)
-    for attempt in range(2):
-        result = _run_child({}, timeout_s=1500)
-        if result is not None:
-            break
-        time.sleep(180 if attempt == 0 else 0)
-    if result is None:
-        # CPU fallback: disable the axon sitecustomize entirely
-        result = _run_child({"PALLAS_AXON_POOL_IPS": "",
-                             "JAX_PLATFORMS": "cpu"}, timeout_s=2400)
-    if result is None:
-        print(json.dumps({"metric": "bo1_registration_throughput_1chip",
-                          "value": 0.0, "unit": "pairs/s",
-                          "vs_baseline": 0.0}))
-        return
+    global _best
+    signal.signal(signal.SIGTERM, _emit_and_exit)
+    signal.signal(signal.SIGINT, _emit_and_exit)
 
-    pairs_per_s = result["pairs_per_s"]
-    print(json.dumps({
-        "metric": "bo1_registration_throughput_1chip",
-        "value": round(pairs_per_s, 4),
-        "unit": "pairs/s",
-        "vs_baseline": round(pairs_per_s / BASELINE_PAIRS_PER_S, 3),
-    }))
+    # 1) guaranteed CPU number first (axon sitecustomize disabled)
+    cpu = _run_child({"PALLAS_AXON_POOL_IPS": "", "JAX_PLATFORMS": "cpu"},
+                     timeout_s=2400)
+    if cpu is not None:
+        _best = cpu
+
+    # 2) TPU attempt (the tunnel may stall; one generous watchdog window)
+    tpu = _run_child({}, timeout_s=2700)
+    if tpu is not None and (tpu.get("platform") != "cpu"):
+        if _best is None or tpu["pairs_per_s"] > 0:
+            _best = tpu
+
+    _emit_and_exit()
 
 
 if __name__ == "__main__":
