@@ -50,6 +50,7 @@ def main(argv=None):
     d.add_argument("nd_downsampled", type=int, nargs="?", default=1000)
     d.add_argument("--config", default=None)
     d.add_argument("--output", default="output.txt")
+    d.add_argument("--engine", choices=["host", "device"], default="host")
     d.add_argument("-q", "--quiet", action="store_true")
 
     args = ap.parse_args(argv)
@@ -84,7 +85,8 @@ def main(argv=None):
         from goicp_tpu.pipeline.demo import run_demo
         cfg = GoICPConfig.from_file(args.config) if args.config else None
         reg = run_demo(args.model, args.data, args.nd_downsampled, cfg,
-                       output_file=args.output, verbose=not args.quiet)
+                       output_file=args.output, verbose=not args.quiet,
+                       engine=args.engine)
         print(f"Error: {reg.error:.6g}  time {reg.time_s:.2f}s "
               f"evals {reg.bound_evals}")
         return 0

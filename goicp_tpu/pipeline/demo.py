@@ -26,7 +26,8 @@ DEMO_CONFIG = GoICPConfig(
 
 def run_demo(model_file: str, data_file: str, nd_downsampled: int = 1000,
              cfg: GoICPConfig | None = None, output_file: str | None = None,
-             verbose: bool = False) -> RegistrationResult:
+             verbose: bool = False,
+             engine: str = "host") -> RegistrationResult:
     cfg = cfg or DEMO_CONFIG
     model, _ = read_point_cloud(model_file)
     data, _ = read_point_cloud(data_file)
@@ -34,7 +35,11 @@ def run_demo(model_file: str, data_file: str, nd_downsampled: int = 1000,
     zeros_d = np.zeros(len(data), np.int32)
     pair = prepare_pair(data, model, zeros_d, zeros_m, cfg,
                         nd_downsampled=nd_downsampled)
-    reg = register(pair, cfg, verbose=verbose)
+    if engine == "device":
+        from goicp_tpu.pipeline.pair import register_with_device_engine
+        reg = register_with_device_engine(pair, cfg)
+    else:
+        reg = register(pair, cfg, verbose=verbose)
     if output_file:
         write_output(output_file, reg.time_s, reg.R, reg.t, reg.error,
                      reg.compatibilities)
