@@ -13,16 +13,18 @@ Design, not translation:
   * no parallelism            -> jax.sharding Mesh: pair-level DP + rotation
                                  subtree sharding with collectives
 
-Layer map (mirrors SURVEY.md section 7.1):
-  io/       mol2 / xyz / cfpfh / tsv parsing and output writers (host side)
+Layer map (mirrors SURVEY.md section 7.1; see ARCHITECTURE.md + PARITY.md):
+  io/       mol2 / xyz / cfpfh / tsv parsing and output writers (+ native)
   geom/     normalization, Rodrigues, transforms, rescale identity, RMSD
   chem/     properties, compatibility, neighbor counts/weights, cFPFH
   grid/     exact 3D EDT distance field + nearest-occupied-cell feature fields
-  bounds/   batched (cubes x points) lower/upper bound evaluation kernels
+  bounds/   batched (cubes x points) lower/upper bound evaluation + scoring
   icp/      batched trimmed ICP with Kabsch/SVD updates (lax.while_loop)
-  search/   array-frontier outer (rotation) and inner (translation) BnB
+  search/   inner/outer BnB; host-streaming engine (checkpointable) and the
+            fully device-side engine (one XLA dispatch per registration)
   dist/     device-mesh sharding: pair DP, subtree sharding, collectives
-  pipeline/ single-pair runner, BO1 sweep, demo harness
+  pipeline/ pair runner, BO1 sweep, batched multi-pair engine, demo, plots
+  native/   C++ host runtime (batched frontier heap, parsers) via ctypes
 """
 
 __version__ = "0.1.0"

@@ -147,27 +147,6 @@ def _rotate_lanes(data: jnp.ndarray, centers: jnp.ndarray):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def _rotate_and_ub(pair: PairData, cfg: GoICPConfig, centers: jnp.ndarray,
-                   widths: jnp.ndarray, active: jnp.ndarray,
-                   opt_error: jnp.ndarray):
-    """Rodrigues + rotate-all-lanes + the full inner ub pass in one
-    dispatch."""
-    R, pts = _rotate_lanes(pair.data, centers)
-    res = inner_bnb(pair, cfg, pts, widths, active, opt_error,
-                    with_rot_uncertainty=False)
-    return R, res
-
-
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def _rotate_and_lb(pair: PairData, cfg: GoICPConfig, centers: jnp.ndarray,
-                   widths: jnp.ndarray, active: jnp.ndarray,
-                   opt_error: jnp.ndarray):
-    _, pts = _rotate_lanes(pair.data, centers)
-    return inner_bnb(pair, cfg, pts, widths, active, opt_error,
-                     with_rot_uncertainty=True)
-
-
-@functools.partial(jax.jit, static_argnames=("cfg",))
 def step_bounds(pair: PairData, cfg: GoICPConfig, centers: jnp.ndarray,
                 widths: jnp.ndarray, active: jnp.ndarray,
                 opt_error: jnp.ndarray):

@@ -22,6 +22,7 @@ def _pair(cfg, seed, n=48, m=56):
                         pad_model_to=64, pad_cells=64, pad_points=8)
 
 
+@pytest.mark.slow
 def test_register_batch_matches_sequential():
     cfg = GoICPConfig(MSEThresh=0.001, regularization=0.0005, ponderation=0,
                       distTransSize=14, rot_batch=4, trans_capacity=64,
