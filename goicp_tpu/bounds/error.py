@@ -51,7 +51,10 @@ def icp_chem_terms(pair: PairData, cfg: GoICPConfig, nn_idx: jnp.ndarray):
     Returns (nbr_term, incomp_term, fpfh_term, icp_incomp_count)."""
     compat = jnp.asarray(compatibility_matrix())
     mask = pair.data_mask
-    incomp_pairs = ~compat[pair.data_props, pair.model_props[nn_idx]]
+    # flat 1D gather (see bounds/evaluate.py note on TPU gather lowerings)
+    incomp_pairs = ~jnp.take(
+        compat.reshape(-1),
+        pair.data_props * compat.shape[1] + pair.model_props[nn_idx])
     incomp = jnp.sum(incomp_pairs * mask).astype(jnp.float32)
 
     nbr_term = jnp.float32(0.0)
@@ -84,7 +87,9 @@ def bnb_incompatibility_count(pair: PairData, cfg: GoICPConfig,
     under the full transform."""
     pts = pair.data @ R.T + t[None, :]
     cid = nearest_cell_id(pts, pair.grid.nearest_cell, pair.grid.consts)
-    comp = jnp.take_along_axis(pair.compat_table, cid[:, None], axis=1)[:, 0]
+    n_cell = pair.compat_table.shape[1]
+    comp = jnp.take(pair.compat_table.reshape(-1),
+                    jnp.arange(pair.n_data_padded) * n_cell + cid)
     return jnp.sum((~comp) * pair.data_mask).astype(jnp.int32)
 
 

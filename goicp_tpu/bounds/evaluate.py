@@ -91,17 +91,23 @@ def chem_corner_values(pair: PairData, cfg: GoICPConfig,
     """
     from goicp_tpu.grid.lookup import flat_index, voxel_indices
     pos = pts_rot[:, None, :, :] + corners[:, :, None, :]   # (L,Q,Nd,3)
+    # NOTE: all (point, column) table lookups are FLAT 1D gathers
+    # (row-stride arithmetic) rather than 2D advanced indexing — the 1D
+    # gather lowering is both faster and avoids a sporadic TPU-worker
+    # kernel fault observed with multi-dimensional gathers on v5e.
     nd_idx = jnp.arange(pair.n_data_padded)[None, None, :]
     out = {}
     if pair.fused_chem:
         # one gather per (corner, point) against per-voxel tables
         _, clamped = voxel_indices(pos, pair.grid.consts)
         flat = flat_index(clamped, pair.grid.consts)        # (L,Q,Nd)
+        s3 = pair.comp_voxel.shape[1]
+        rows = nd_idx * s3 + flat
         if cfg.regularization > 0:
-            comp = pair.comp_voxel[nd_idx, flat]
+            comp = jnp.take(pair.comp_voxel.reshape(-1), rows)
             out["incomp"] = jnp.sum(~comp, axis=-1).astype(jnp.float32)
         if cfg.regularizationFPFH > 0 and cfg.cfpfh != 0:
-            fp = pair.fpfh_voxel[nd_idx, flat]
+            fp = jnp.take(pair.fpfh_voxel.reshape(-1), rows)
             out["fpfh"] = jnp.sum(fp, axis=-1) / pair.n_data
         if cfg.regularizationNeighbors > 0:
             cid = nearest_cell_id(pos, pair.grid.nearest_cell,
@@ -111,11 +117,13 @@ def chem_corner_values(pair: PairData, cfg: GoICPConfig,
     else:
         cid = nearest_cell_id(pos, pair.grid.nearest_cell,
                               pair.grid.consts)             # (L,Q,Nd)
+        n_cell = pair.compat_table.shape[1]
+        rows = nd_idx * n_cell + cid
         if cfg.regularization > 0:
-            comp = pair.compat_table[nd_idx, cid]           # (L,Q,Nd) bool
+            comp = jnp.take(pair.compat_table.reshape(-1), rows)
             out["incomp"] = jnp.sum(~comp, axis=-1).astype(jnp.float32)
         if cfg.regularizationFPFH > 0 and cfg.cfpfh != 0:
-            fp = pair.fpfh_table[nd_idx, cid]               # (L,Q,Nd)
+            fp = jnp.take(pair.fpfh_table.reshape(-1), rows)
             out["fpfh"] = jnp.sum(fp, axis=-1) / pair.n_data
     if cfg.regularizationNeighbors > 0:
         # nearest model point within the nearest occupied cell (argmin of

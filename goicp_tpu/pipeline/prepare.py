@@ -231,8 +231,8 @@ def prepare_pair(source: np.ndarray, target: np.ndarray,
     s3 = cfg.distTransSize ** 3
     fused_chem = bool(chem_active and ndp * s3 <= 64_000_000)
     if fused_chem:
-        comp_voxel = compat_table[:, grid.nearest_cell]       # (Nd, S^3)
-        fpfh_voxel = fpfh_table[:, grid.nearest_cell] \
+        comp_voxel = jnp.take(compat_table, grid.nearest_cell, axis=1)
+        fpfh_voxel = jnp.take(fpfh_table, grid.nearest_cell, axis=1) \
             if (cfg.regularizationFPFH > 0 and cfg.cfpfh != 0) \
             else jnp.zeros((0, 0), jnp.float32)
     else:
