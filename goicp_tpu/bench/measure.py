@@ -27,10 +27,11 @@ def main(out_path: str):
 
     cfg = GoICPConfig.from_file(f"{REF}/config.txt")
     if platform != "cpu":
-        # TPU: fewer, larger dispatches — per-call latency through the
-        # device tunnel dominates small programs
+        # TPU: tuned search shape (see PROGRESS notes) — rot_batch=4 popped
+        # rotation cubes per outer step converges in ~3 outer steps on BO1
+        # cavities at 38 pairs/s batched (Pallas kernels + fused inner)
         import dataclasses
-        cfg = dataclasses.replace(cfg, rot_batch=16)
+        cfg = dataclasses.replace(cfg, rot_batch=4)
     src, sp = read_mol_file(f"{REF}/cavities/2x86_3_cavity6.mol2")
     tgt, tp = read_mol_file(f"{REF}/cavities/1eq2_6_cavity6.mol2")
     norm = normalize_pair(src, tgt)

@@ -18,6 +18,8 @@ equivalent of the reference's memoization).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -27,6 +29,26 @@ from goicp_tpu.grid.lookup import dt_distance, nearest_cell_id
 from goicp_tpu.pipeline.prepare import PairData
 
 SQRT3 = float(np.sqrt(3.0))
+
+
+def _pallas_mode() -> str:
+    """GOICP_KERNEL env: auto (pallas on TPU when exact), pallas, xla."""
+    return os.environ.get("GOICP_KERNEL", "auto")
+
+
+def _use_pallas(pair: PairData, cfg: GoICPConfig, trimming: bool) -> bool:
+    """Route the bound evaluation to the Pallas MXU kernels?  Decided at
+    trace time; the kernels are bit-equal to the XLA gather path within
+    their support envelope (see bounds/pallas_eval.py)."""
+    mode = _pallas_mode()
+    if mode == "xla" or trimming:
+        return False
+    from goicp_tpu.bounds import pallas_eval
+    c_pad = max(-(-pair.grid.cell_coords.shape[0] // 8) * 8, 8)
+    ok = pallas_eval.supports(pair.grid.geom.size, c_pad, cfg.norm)
+    if mode == "pallas":
+        return ok
+    return ok and jax.default_backend() == "tpu"
 
 # child j has corners c at lattice position (jx+cx, jy+cy, jz+cz) in the
 # 3x3x3 corner lattice of its parent (offsets in units of child width)
@@ -54,6 +76,13 @@ def geometric_bounds(pair: PairData, cfg: GoICPConfig,
     """pts_rot (L, Nd, 3); centers (L, B, 3); widths (L, B);
     rot_uncertainty (L, Nd) or None -> (ub (L,B), lb (L,B)).
     """
+    if _use_pallas(pair, cfg, trimming=pair.inlier_num < pair.n_data):
+        from goicp_tpu.bounds.pallas_eval import geometric_bounds_kernel
+        return geometric_bounds_kernel(
+            pts_rot, centers, widths, rot_uncertainty, pair.weights,
+            pair.grid.cell_coords, pair.grid.consts,
+            size=pair.grid.geom.size, norm=cfg.norm,
+            interpret=jax.default_backend() != "tpu")
     pos = pts_rot[:, None, :, :] + centers[:, :, None, :]   # (L,B,Nd,3)
     dis = pair.weights[None, None, :] * dt_distance(
         pos, pair.grid.dist, pair.grid.consts)              # (L,B,Nd)
@@ -61,13 +90,17 @@ def geometric_bounds(pair: PairData, cfg: GoICPConfig,
         dis = dis - rot_uncertainty[:, None, :]
     dis = jnp.maximum(dis, 0.0)
 
-    if pair.inlier_num < pair.n_data_padded:
-        # selection needed: trimming and/or padding.  Padding points carry
-        # zero weight (dis == 0) and must not be selected -> push to +inf.
+    if pair.inlier_num < pair.n_data:
+        # real trimming: keep the inlier_num smallest REAL distances.
+        # Padding points carry zero weight (dis == 0) and must not be
+        # selected -> push to +inf.
         dis = jnp.where(pair.data_mask[None, None, :] > 0, dis, jnp.inf)
         neg, _ = jax.lax.top_k(-dis, pair.inlier_num)       # (L,B,I)
         kept = -neg
     else:
+        # no trimming: padding points contribute exactly 0 to every sum
+        # (zero weight => dis == 0; zero norm_data => rot uncertainty 0;
+        # lb clamp keeps them 0), so the top_k selection is unnecessary.
         kept = dis
     max_trans = (SQRT3 / 2.0) * widths                      # (L,B)
     lb_d = jnp.maximum(kept - max_trans[:, :, None], 0.0)
@@ -80,6 +113,50 @@ def geometric_bounds(pair: PairData, cfg: GoICPConfig,
     return ub, lb
 
 
+def geometric_bounds_fused(pair: PairData, cfg: GoICPConfig,
+                           pts_rot: jnp.ndarray, centers: jnp.ndarray,
+                           widths: jnp.ndarray, rot_uncertainty: jnp.ndarray):
+    """One DT lookup, three bounds (the fused inner-search evaluator):
+      ub_plain: error at the node center with zero rotation uncertainty
+                (the reference ub-pass ub, jly_goicp.cpp:392-401);
+      ubu:      same with maxRotDis subtracted (the lb-pass "ub" — an
+                achieved lower-sense value at the exact translation);
+      lbu:      ubu minus the sqrt(3)/2*w translation uncertainty (the
+                lb-pass lb, the frontier key / rot-cube subtree bound).
+    pts_rot (L,Nd,3); centers (L,B,3); widths (L,B); rot_uncertainty (L,Nd)
+    -> three (L,B) arrays.
+    """
+    if _use_pallas(pair, cfg, trimming=pair.inlier_num < pair.n_data):
+        from goicp_tpu.bounds.pallas_eval import geometric_bounds_kernel
+        return geometric_bounds_kernel(
+            pts_rot, centers, widths, rot_uncertainty, pair.weights,
+            pair.grid.cell_coords, pair.grid.consts,
+            size=pair.grid.geom.size, norm=cfg.norm, fused=True,
+            interpret=jax.default_backend() != "tpu")
+    pos = pts_rot[:, None, :, :] + centers[:, :, None, :]   # (L,B,Nd,3)
+    dis = pair.weights[None, None, :] * dt_distance(
+        pos, pair.grid.dist, pair.grid.consts)              # (L,B,Nd)
+    disu = jnp.maximum(dis - rot_uncertainty[:, None, :], 0.0)
+
+    if pair.inlier_num < pair.n_data:
+        # trim each variant independently (each pass of the reference
+        # intro_selects its own distances, jly_goicp.cpp:384-390)
+        mask = pair.data_mask[None, None, :] > 0
+        kept = -jax.lax.top_k(-jnp.where(mask, dis, jnp.inf),
+                              pair.inlier_num)[0]
+        keptu = -jax.lax.top_k(-jnp.where(mask, disu, jnp.inf),
+                               pair.inlier_num)[0]
+    else:
+        kept, keptu = dis, disu
+    lb_d = jnp.maximum(keptu - (SQRT3 / 2.0) * widths[:, :, None], 0.0)
+    if cfg.norm == 2:
+        return (jnp.sum(kept * kept, axis=-1),
+                jnp.sum(keptu * keptu, axis=-1),
+                jnp.sum(lb_d * lb_d, axis=-1))
+    return (jnp.sum(kept, axis=-1), jnp.sum(keptu, axis=-1),
+            jnp.sum(lb_d, axis=-1))
+
+
 def chem_corner_values(pair: PairData, cfg: GoICPConfig,
                        pts_rot: jnp.ndarray, corners: jnp.ndarray):
     """Per-corner chem sums.  pts_rot (L, Nd, 3); corners (L, Q, 3) ->
@@ -90,6 +167,16 @@ def chem_corner_values(pair: PairData, cfg: GoICPConfig,
     nearest-occupied-cell of the clamped voxel.
     """
     from goicp_tpu.grid.lookup import flat_index, voxel_indices
+    only_incomp = (cfg.regularization > 0
+                   and not (cfg.regularizationFPFH > 0 and cfg.cfpfh != 0)
+                   and cfg.regularizationNeighbors <= 0)
+    if only_incomp and _use_pallas(pair, cfg, trimming=False):
+        from goicp_tpu.bounds.pallas_eval import chem_incomp_kernel
+        return {"incomp": chem_incomp_kernel(
+            pts_rot, corners, pair.compat_table, pair.data_mask,
+            pair.grid.cell_coords, pair.grid.consts,
+            size=pair.grid.geom.size,
+            interpret=jax.default_backend() != "tpu")}
     pos = pts_rot[:, None, :, :] + corners[:, :, None, :]   # (L,Q,Nd,3)
     # NOTE: all (point, column) table lookups are FLAT 1D gathers
     # (row-stride arithmetic) rather than 2D advanced indexing — the 1D

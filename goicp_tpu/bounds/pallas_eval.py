@@ -1,0 +1,350 @@
+"""Pallas TPU kernels for the BnB bound-evaluation hot path.
+
+Reference hot loops being replaced (see SURVEY.md §3.3): the InnerBnB
+per-point weighted DT lookup + bound sums (jly_goicp.cpp:343-415) and the
+chem corner compatibility probes (:429-550 via checkCompatibility
+:974-1041).
+
+Why a custom kernel, and why THIS formulation
+---------------------------------------------
+The XLA path (bounds/evaluate.py) evaluates bounds as table *gathers* over
+the precomputed EDT fields.  Two problems on TPU:
+  1. gathers run on the VPU at a few elements/cycle and dominate the step;
+  2. batched (vmapped) multi-dimensional gathers have produced sporadic
+     TPU-worker kernel faults on v5e in this environment.
+
+This kernel computes the SAME values with zero gathers, using the MXU:
+because our EDT is exact (grid/edt.py), the table value at a voxel IS
+  min over occupied cells c of |voxel_center - cell_center| / scale,
+so instead of gathering dist[flat(voxel)] we recompute the min over the
+(few hundred) occupied cells as a (points x cells) matmul.  All voxel and
+cell coordinates are small integers, so every product/sum fits exactly in
+f32 and the result is BIT-EQUAL to the gather path.
+
+The nearest-cell argmin (needed for the chem terms) is recovered with a
+key encoding: key = d2 * Cpad + cell_index.  Keys are unique integers, so
+  * min(key) recovers (min d2, smallest winning cell index) — the same
+    tie-break as the EDT build's first-min argmin;
+  * a second min over key + BIG * incompatible[point, cell] tells whether
+    the winning cell is property-compatible: it equals min(key) iff so.
+Exactness requires 27 * S^2 * Cpad + BIG < 2^24 (f32 integer range); the
+wrapper falls back to the XLA gather path otherwise (cavity workloads:
+S=20, Cpad<=512 — comfortably inside).
+
+Per-node segment reductions (sum of dis^2 over each node's Nd points) are
+also matmuls against a 0/1 segment matrix, so the only VPU work is
+elementwise arithmetic.  One kernel invocation evaluates a whole
+(lanes x nodes x points) bound batch with NO HBM intermediates.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+SQRT3 = float(np.sqrt(3.0))
+_BIG = float(2 ** 23)          # compat offset; keys stay < 2^24 (exact f32)
+_LANE = 128
+
+# node-chunk sizes (tuned for VMEM: the (Cpad, chunk*Nd) d2/key matrices)
+_BC_NODES = 4
+_BC_CORNERS = 3
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def supports(size: int, c_pad: int, n_norm: int) -> bool:
+    """Can the key encoding stay exact for this grid?  (wrapper gate)"""
+    d2_max = 27.0 * size * size          # incl. far-padded cells at -2S
+    return c_pad <= 512 and d2_max * c_pad + _BIG < 2 ** 24 and n_norm in (1, 2)
+
+
+# ---------------------------------------------------------------------------
+# kernel bodies
+# ---------------------------------------------------------------------------
+
+def _voxelize(pos, consts_ref, size_f):
+    """pos (3,T) world -> (raw (3,T) f32 int-valued, clamped (3,T) f32)."""
+    lo = jnp.concatenate(
+        [consts_ref[0, 0].reshape(1, 1), consts_ref[0, 1].reshape(1, 1),
+         consts_ref[0, 2].reshape(1, 1)], axis=0)            # (3,1)
+    scale = consts_ref[0, 3]
+    raw = jnp.trunc((pos - lo) * scale + 0.5)                # ROUND, f32
+    clamped = jnp.clip(raw, 0.0, size_f - 1.0)
+    return raw, clamped
+
+
+def _min_key(clamped, cells, c_norm, c_iota, c_pad_f):
+    """clamped (3,T), cells (Cp,3) -> kmin (1,T): min over cells of
+    (|v-c|^2 * Cpad + c).  All integer-exact in f32."""
+    vn = jnp.sum(clamped * clamped, axis=0, keepdims=True)   # (1,T)
+    m = jax.lax.dot_general(
+        cells, clamped, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                  # (Cp,T)
+    d2 = c_norm - 2.0 * m + vn
+    key = d2 * c_pad_f + c_iota
+    return key, jnp.min(key, axis=0, keepdims=True)
+
+
+def _segment_mats(t: int, bc: int, nd: int):
+    """E (bc,T) selecting each node's point segment, and E_T (T,bc)."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (bc, t), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (bc, t), 1)
+    e = (cols // nd == rows).astype(jnp.float32)
+    rows_t = jax.lax.broadcasted_iota(jnp.int32, (t, bc), 0)
+    cols_t = jax.lax.broadcasted_iota(jnp.int32, (t, bc), 1)
+    e_t = (rows_t // nd == cols_t).astype(jnp.float32)
+    return e, e_t
+
+
+def _geom_kernel(consts_ref, pts_ref, cen_ref, wid_ref, ru_ref, w_ref,
+                 cells_ref, *out_refs, nd, bc, size, c_pad, norm,
+                 with_unc, fused):
+    t = bc * nd
+    size_f = jnp.float32(size)
+    c_pad_f = jnp.float32(c_pad)
+    p3 = pts_ref[0]                                          # (3, Nd)
+    p_t = jnp.concatenate([p3] * bc, axis=1)                 # (3, T)
+    w_t = jnp.concatenate([w_ref[:]] * bc, axis=1)           # (1, T)
+    cells = cells_ref[:]                                     # (Cp, 3)
+    c_norm = jnp.sum(cells * cells, axis=1, keepdims=True)   # (Cp, 1)
+    c_iota = jax.lax.broadcasted_iota(jnp.int32, (c_pad, 1), 0).astype(jnp.float32)
+    e, e_t = _segment_mats(t, bc, nd)
+
+    cen_seg = jax.lax.dot_general(                           # (3, T)
+        cen_ref[0, 0], e, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    pos = p_t + cen_seg
+    raw, clamped = _voxelize(pos, consts_ref, size_f)
+    _, kmin = _min_key(clamped, cells, c_norm, c_iota, c_pad_f)
+
+    d2 = jnp.trunc(kmin / c_pad_f)                           # exact: key ints
+    scale = consts_ref[0, 3]
+    dist = jnp.sqrt(d2) / scale                              # (1, T)
+    # out-of-bounds extension (DT3D::Distance, jly_3ddt.cpp:1156-1190)
+    excess = jnp.where(raw < 0.0, raw,
+                       jnp.where(raw >= size_f, raw - size_f + 1.0, 0.0))
+    extra = jnp.sqrt(jnp.sum(excess * excess, axis=0, keepdims=True)) / scale
+    oob = jnp.any((raw < 0.0) | (raw >= size_f), axis=0, keepdims=True)
+    dist = jnp.where(oob, dist + extra, dist)
+
+    def seg_sum(v):
+        return jax.lax.dot_general(
+            v, e_t, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)              # (1, bc)
+
+    def f(v):
+        return v * v if norm == 2 else v
+
+    dis = w_t * dist
+    wid_seg = jax.lax.dot_general(                           # (1, T)
+        wid_ref[0, 0], e, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    if fused:
+        ub_ref, ubu_ref, lbu_ref = out_refs
+        ru_t = jnp.concatenate([ru_ref[0]] * bc, axis=1)
+        disu = jnp.maximum(dis - ru_t, 0.0)
+        lbd = jnp.maximum(disu - (SQRT3 / 2.0) * wid_seg, 0.0)
+        ub_ref[0, 0] = seg_sum(f(dis))
+        ubu_ref[0, 0] = seg_sum(f(disu))
+        lbu_ref[0, 0] = seg_sum(f(lbd))
+        return
+    ub_ref, lb_ref = out_refs
+    if with_unc:
+        ru_t = jnp.concatenate([ru_ref[0]] * bc, axis=1)
+        dis = jnp.maximum(dis - ru_t, 0.0)
+    lbd = jnp.maximum(dis - (SQRT3 / 2.0) * wid_seg, 0.0)
+    ub_ref[0, 0] = seg_sum(f(dis))
+    lb_ref[0, 0] = seg_sum(f(lbd))
+
+
+def _chem_kernel(consts_ref, pts_ref, cor_ref, incomp_ref, cells_ref,
+                 out_ref, *, nd, bc, size, c_pad):
+    """Per-corner incompatibility counts: out[q] = #points whose property is
+    incompatible with the nearest occupied cell of their clamped voxel."""
+    t = bc * nd
+    size_f = jnp.float32(size)
+    c_pad_f = jnp.float32(c_pad)
+    p3 = pts_ref[0]
+    p_t = jnp.concatenate([p3] * bc, axis=1)                 # (3, T)
+    cells = cells_ref[:]
+    c_norm = jnp.sum(cells * cells, axis=1, keepdims=True)
+    c_iota = jax.lax.broadcasted_iota(jnp.int32, (c_pad, 1), 0).astype(jnp.float32)
+    e, e_t = _segment_mats(t, bc, nd)
+
+    cen_seg = jax.lax.dot_general(
+        cor_ref[0, 0], e, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    pos = p_t + cen_seg
+    _, clamped = _voxelize(pos, consts_ref, size_f)          # chem: clamped
+    key, kmin = _min_key(clamped, cells, c_norm, c_iota, c_pad_f)
+    key2 = key + _BIG * incomp_ref[:]                        # (Cp, T)
+    kmin2 = jnp.min(key2, axis=0, keepdims=True)
+    flag = (kmin2 != kmin).astype(jnp.float32)               # (1, T)
+    out_ref[0, 0] = jax.lax.dot_general(
+        flag, e_t, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                  # (1, bc)
+
+
+# ---------------------------------------------------------------------------
+# wrappers
+# ---------------------------------------------------------------------------
+
+def _pad_cells(cell_coords: jnp.ndarray, size: int) -> jnp.ndarray:
+    """(C,3) i32 cell coords -> (Cpad,3) f32; padding parked at -2S per axis
+    (never wins the min: d2 >= 12 S^2 > 3 (S-1)^2 >= any real cell's d2)."""
+    c = cell_coords.shape[0]
+    c_pad = max(_ceil_to(c, 8), 8)
+    far = jnp.float32(-2 * size)
+    coords = jnp.where(
+        (cell_coords >= 0) & (cell_coords < size),
+        cell_coords.astype(jnp.float32), far)
+    pad = jnp.full((c_pad - c, 3), far, jnp.float32)
+    return jnp.concatenate([coords, pad], axis=0)
+
+
+def _pad_pts(pts_t, weights, rot_unc, nd):
+    """Pad the point axis to a lane multiple; padded points carry zero
+    weight/uncertainty so they contribute 0 to every sum."""
+    ndp = _ceil_to(nd, _LANE)
+    if ndp == nd:
+        return pts_t, weights, rot_unc, ndp
+    dp = ndp - nd
+    pts_t = jnp.pad(pts_t, ((0, 0), (0, 0), (0, dp)))
+    weights = jnp.pad(weights, ((0, 0), (0, dp)))
+    if rot_unc is not None:
+        rot_unc = jnp.pad(rot_unc, ((0, 0), (0, dp)))
+    return pts_t, weights, rot_unc, ndp
+
+
+@functools.partial(jax.jit, static_argnames=("size", "norm", "fused",
+                                             "interpret"))
+def geometric_bounds_kernel(pts_rot, centers, widths, rot_unc, weights,
+                            cell_coords, consts, *, size: int, norm: int,
+                            fused: bool = False, interpret: bool = False):
+    """Fused no-trim geometric bound evaluation.
+
+    pts_rot (L,Nd,3), centers (L,B,3), widths (L,B), rot_unc (L,Nd)|None,
+    weights (Nd,), cell_coords (C,3) i32, consts (5,) -> ub, lb (L,B); with
+    fused=True -> (ub_plain, ubu, lbu) (L,B) each (see
+    evaluate.geometric_bounds_fused).  Bit-equal to the XLA gather path.
+    """
+    l, nd, _ = pts_rot.shape
+    b = centers.shape[1]
+    bc = _BC_NODES if b % _BC_NODES == 0 else 1
+    cells = _pad_cells(cell_coords, size)
+    c_pad = cells.shape[0]
+    pts_t = pts_rot.transpose(0, 2, 1)
+    cen_t = centers.transpose(0, 2, 1)
+    with_unc = rot_unc is not None
+    pts_t, w2, ru, ndp = _pad_pts(pts_t, weights[None, :],
+                                  rot_unc if with_unc else None, nd)
+    if ru is None:
+        ru = jnp.zeros((l, ndp), jnp.float32)
+    consts8 = jnp.concatenate([consts.astype(jnp.float32),
+                               jnp.zeros(3, jnp.float32)])[None, :]
+
+    kern = functools.partial(_geom_kernel, nd=ndp, bc=bc, size=size,
+                             c_pad=c_pad, norm=norm, with_unc=with_unc,
+                             fused=fused)
+    k_chunks = b // bc
+    grid = (l, k_chunks)
+    n_out = 3 if fused else 2
+    # Mosaic requires the last two block dims to be (8,128)-divisible or
+    # full-size, so chunked operands carry the chunk axis OUTSIDE them:
+    # (L,3,B) -> (L,K,3,bc), (L,B) -> (L,K,1,bc), (L,Nd) -> (L,1,Nd).
+    cen_r = cen_t.reshape(l, 3, k_chunks, bc).transpose(0, 2, 1, 3)
+    wid_r = widths.reshape(l, k_chunks, 1, bc)
+    ru_r = ru[:, None, :]
+    outs = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 8), lambda i, k: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 3, ndp), lambda i, k: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 3, bc), lambda i, k: (i, k, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, bc), lambda i, k: (i, k, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, ndp), lambda i, k: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ndp), lambda i, k: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c_pad, 3), lambda i, k: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[pl.BlockSpec((1, 1, 1, bc), lambda i, k: (i, k, 0, 0),
+                                memory_space=pltpu.VMEM)] * n_out,
+        out_shape=[jax.ShapeDtypeStruct((l, k_chunks, 1, bc), jnp.float32)
+                   ] * n_out,
+        interpret=interpret,
+    )(consts8, pts_t, cen_r, wid_r, ru_r, w2, cells)
+    return tuple(o.reshape(l, b) for o in outs)
+
+
+@functools.partial(jax.jit, static_argnames=("size", "interpret"))
+def chem_incomp_kernel(pts_rot, corners, compat_table, data_mask,
+                       cell_coords, consts, *, size: int,
+                       interpret: bool = False):
+    """Per-corner incompatibility counts (BnB chem path, zero gathers).
+
+    pts_rot (L,Nd,3), corners (L,Q,3), compat_table (Nd,C) bool,
+    data_mask (Nd,) -> counts (L,Q) f32.  Matches the XLA path of
+    bounds/evaluate.chem_corner_values()["incomp"] exactly.
+    """
+    l, nd, _ = pts_rot.shape
+    q = corners.shape[1]
+    bc = _BC_CORNERS if q % _BC_CORNERS == 0 else 1
+    cells = _pad_cells(cell_coords, size)
+    c_pad = cells.shape[0]
+    c_real = compat_table.shape[1]
+
+    pts_t = pts_rot.transpose(0, 2, 1)
+    cor_t = corners.transpose(0, 2, 1)
+    ndp = _ceil_to(nd, _LANE)
+    if ndp != nd:
+        pts_t = jnp.pad(pts_t, ((0, 0), (0, 0), (0, ndp - nd)))
+    # incompat (Cp, bc*Ndp): rows = cells, cols = node-tiled points; padded
+    # points and padded cells are marked compatible (contribute 0 / never win)
+    inc = (~compat_table) & (data_mask[:, None] > 0)         # (Nd, C)
+    inc_t = inc.T.astype(jnp.float32)                        # (C, Nd)
+    inc_t = jnp.pad(inc_t, ((0, c_pad - c_real), (0, ndp - nd)))
+    inc_tiled = jnp.concatenate([inc_t] * bc, axis=1)        # (Cp, bc*Ndp)
+    consts8 = jnp.concatenate([consts.astype(jnp.float32),
+                               jnp.zeros(3, jnp.float32)])[None, :]
+
+    kern = functools.partial(_chem_kernel, nd=ndp, bc=bc, size=size,
+                             c_pad=c_pad)
+    k_chunks = q // bc
+    grid = (l, k_chunks)
+    cor_r = cor_t.reshape(l, 3, k_chunks, bc).transpose(0, 2, 1, 3)
+    out = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 8), lambda i, k: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 3, ndp), lambda i, k: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 3, bc), lambda i, k: (i, k, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c_pad, bc * ndp), lambda i, k: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c_pad, 3), lambda i, k: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, 1, bc), lambda i, k: (i, k, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((l, k_chunks, 1, bc), jnp.float32),
+        interpret=interpret,
+    )(consts8, pts_t, cor_r, inc_tiled, cells)
+    return out.reshape(l, q)

@@ -48,6 +48,9 @@ class GoICPConfig:
     icp_max_iter: int = 200      # reference caps at 10000 (jly_icp3d.hpp:126);
                                  # ICP converges in <50 iters on these clouds
     max_outer_steps: int = 100_000
+    fused_inner: int = 1         # 1 = one fused inner search per outer step
+                                 # (ub+lb from a single DT lookup; halves the
+                                 # bound work at identical epsilon guarantees)
 
     # ---- derived (jly_main.cpp:258-262) ----
     @property

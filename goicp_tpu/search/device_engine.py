@@ -129,18 +129,28 @@ def register_device(pair: PairData, cfg: GoICPConfig) -> DeviceResult:
                   - SQRT3 * widths / 2.0) <= jnp.pi
         active = inside & jnp.repeat(expand, 8)
 
-        # ---- rotate + inner ub/lb passes ----
+        # ---- rotate + inner pass(es): fused (one search yielding both the
+        # achievable ub and the rot-cube lb) or the two-pass reference shape
         R_lanes = rodrigues(centers)                       # (L,3,3)
         pts = jnp.einsum("lij,nj->lni", R_lanes, pair.data,
                          precision=jax.lax.Precision.HIGHEST)
-        res_ub = inner_bnb(pair, cfg, pts, widths, active, s["opt_err"],
-                           with_rot_uncertainty=False)
-        ubs = jnp.where(active, res_ub.best_err, INF)
-        best_lane = jnp.argmin(ubs)
-        cand_ub = ubs[best_lane]
-        incumbent = jnp.minimum(s["opt_err"], cand_ub)
-        res_lb = inner_bnb(pair, cfg, pts, widths, active, incumbent,
-                           with_rot_uncertainty=True)
+        if cfg.fused_inner:
+            res_ub = inner_bnb(pair, cfg, pts, widths, active, s["opt_err"],
+                               with_rot_uncertainty=False, fused=True)
+            res_lb = res_ub
+            ubs = jnp.where(active, res_ub.best_err, INF)
+            best_lane = jnp.argmin(ubs)
+            cand_ub = ubs[best_lane]
+            incumbent = jnp.minimum(s["opt_err"], cand_ub)
+        else:
+            res_ub = inner_bnb(pair, cfg, pts, widths, active, s["opt_err"],
+                               with_rot_uncertainty=False)
+            ubs = jnp.where(active, res_ub.best_err, INF)
+            best_lane = jnp.argmin(ubs)
+            cand_ub = ubs[best_lane]
+            incumbent = jnp.minimum(s["opt_err"], cand_ub)
+            res_lb = inner_bnb(pair, cfg, pts, widths, active, incumbent,
+                               with_rot_uncertainty=True)
 
         # ---- candidate adoption (BnB) + ICP refinement ----
         cand_R = R_lanes[best_lane]
@@ -204,7 +214,9 @@ def register_device(pair: PairData, cfg: GoICPConfig) -> DeviceResult:
             min_dropped=keep(jnp.minimum(s["min_dropped"], min_drop),
                              s["min_dropped"]),
             it=s["it"] + 1,
-            evals=s["evals"] + keep(res_ub.evals + res_lb.evals, 0),
+            evals=s["evals"] + keep(
+                res_ub.evals if cfg.fused_inner
+                else res_ub.evals + res_lb.evals, 0),
             converged=s["converged"] | converged,
             final_lb=final_lb,
         )

@@ -33,6 +33,7 @@ import jax.numpy as jnp
 
 from goicp_tpu.bounds.evaluate import (chem_bounds_from_lattice,
                                        chem_corner_values, geometric_bounds,
+                                       geometric_bounds_fused,
                                        rot_uncertainty, _LATTICE_OFFSETS,
                                        _CHILD_OFFSETS)
 from goicp_tpu.config import GoICPConfig
@@ -55,20 +56,33 @@ def _chem_active(cfg: GoICPConfig) -> bool:
             or (cfg.regularizationFPFH > 0 and cfg.cfpfh != 0))
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "with_rot_uncertainty"))
+@functools.partial(jax.jit, static_argnames=("cfg", "with_rot_uncertainty",
+                                             "fused"))
 def inner_bnb(pair: PairData, cfg: GoICPConfig, pts_rot: jnp.ndarray,
               rot_widths: jnp.ndarray, active: jnp.ndarray,
               opt_error_init: jnp.ndarray,
-              with_rot_uncertainty: bool) -> InnerResult:
+              with_rot_uncertainty: bool,
+              fused: bool = False) -> InnerResult:
     """pts_rot (L, Nd, 3) pre-rotated data; rot_widths (L,); active (L,) bool;
-    opt_error_init scalar incumbent."""
+    opt_error_init scalar incumbent.
+
+    fused=True runs the reference's two InnerBnB passes (jly_goicp.cpp:768 ub
+    with zero rotation uncertainty, :861 lb with maxRotDis) as ONE search:
+    each evaluated node yields, from a single DT lookup, both the plain ub
+    (adoption candidate; best_err) and the uncertainty-adjusted ub/lb pair
+    (pruning threshold / frontier key; lb_safe).  The frontier is ordered by
+    the uncertainty lb, and the pruning threshold is
+        thr = min(incumbent, best plain ub, best uncertainty ub)
+    — all achieved values at rotations/translations inside the cube, so
+    pruning against thr keeps lb_safe valid.  Halves the bound-evaluation
+    work per outer step at identical epsilon-optimality."""
     L = pts_rot.shape[0]
     C = cfg.trans_capacity
     P = cfg.trans_pop
     sse_thresh = jnp.float32(cfg.MSEThresh * pair.inlier_num)
 
     mrd = rot_uncertainty(rot_widths, pair.norm_data) \
-        if with_rot_uncertainty else None
+        if (with_rot_uncertainty or fused) else None
 
     child_off = jnp.asarray(_CHILD_OFFSETS, jnp.float32)      # (8,3)
     lattice_off = jnp.asarray(_LATTICE_OFFSETS, jnp.float32)  # (27,3)
@@ -83,6 +97,7 @@ def inner_bnb(pair: PairData, cfg: GoICPConfig, pts_rot: jnp.ndarray,
     state0 = dict(
         nodes=nodes0, lbs=lbs0,
         opt_err=jnp.full((L,), 1.0, jnp.float32) * opt_error_init,
+        thr=jnp.full((L,), 1.0, jnp.float32) * opt_error_init,
         best_node=jnp.zeros((L, 4), jnp.float32),
         ub_terms=jnp.zeros((L, 3), jnp.float32),
         min_dropped=jnp.full((L,), INF, jnp.float32),
@@ -95,16 +110,17 @@ def inner_bnb(pair: PairData, cfg: GoICPConfig, pts_rot: jnp.ndarray,
 
     def body(s):
         lbs = s["lbs"]
+        ref_err = s["thr"] if fused else s["opt_err"]
         min_lb = jnp.min(lbs, axis=1)                        # (L,)
         done = s["done"] | jnp.isinf(min_lb) \
-            | (s["opt_err"] - min_lb < sse_thresh)
+            | (ref_err - min_lb < sse_thresh)
 
         # pop the P lowest-lb nodes per lane
         neg, idx = jax.lax.top_k(-lbs, P)                    # (L,P)
         pop_lb = -neg
         parents = jnp.take_along_axis(s["nodes"], idx[:, :, None], axis=1)
         expand = (~done[:, None]) & jnp.isfinite(pop_lb) \
-            & (s["opt_err"][:, None] - pop_lb >= sse_thresh)
+            & (ref_err[:, None] - pop_lb >= sse_thresh)
         # clear popped slots (also the threshold-discarded ones: the
         # reference's termination rule makes their whole subtree unable to
         # improve the incumbent by more than SSEThresh)
@@ -119,7 +135,13 @@ def inner_bnb(pair: PairData, cfg: GoICPConfig, pts_rot: jnp.ndarray,
         centers = (cxyz + cw[..., None, :] / 2.0).reshape(L, P * 8, 3)
         widths = cwidth.reshape(L, P * 8)
 
-        ub, lb = geometric_bounds(pair, cfg, pts_rot, centers, widths, mrd)
+        if fused:
+            ub, ubu, lb = geometric_bounds_fused(pair, cfg, pts_rot,
+                                                 centers, widths, mrd)
+        else:
+            ub, lb = geometric_bounds(pair, cfg, pts_rot, centers, widths,
+                                      mrd)
+            ubu = None
 
         terms = jnp.zeros((L, P * 8, 3), jnp.float32)
         if chem:
@@ -131,6 +153,8 @@ def inner_bnb(pair: PairData, cfg: GoICPConfig, pts_rot: jnp.ndarray,
             ub_add, lb_add, ub_t = chem_bounds_from_lattice(cfg, vals)
             ub = ub + ub_add.reshape(L, P * 8)
             lb = lb + lb_add.reshape(L, P * 8)
+            if fused:
+                ubu = ubu + ub_add.reshape(L, P * 8)
             incomp_t = ub_t.get("incomp", jnp.zeros((L, P, 8)))
             fpfh_t = ub_t.get("fpfh", jnp.zeros((L, P, 8)))
             terms = jnp.stack([
@@ -146,6 +170,8 @@ def inner_bnb(pair: PairData, cfg: GoICPConfig, pts_rot: jnp.ndarray,
         valid = valid.reshape(L, P * 8)
         ub = jnp.where(valid, ub, INF)
         lb = jnp.where(valid, lb, INF)
+        if fused:
+            ubu = jnp.where(valid, ubu, INF)
 
         # adopt the best child ub per lane
         bc = jnp.argmin(ub, axis=1)                          # (L,)
@@ -159,8 +185,18 @@ def inner_bnb(pair: PairData, cfg: GoICPConfig, pts_rot: jnp.ndarray,
             terms, bc[:, None, None], axis=1)[:, 0]
         ub_terms = jnp.where(improved[:, None], chosen_terms, s["ub_terms"])
 
-        # prune children vs updated incumbent
-        lb = jnp.where(lb >= opt_err[:, None], INF, lb)
+        # prune children vs updated incumbent (fused: vs the uncertainty
+        # threshold — min of achieved values, all valid upper bounds on the
+        # lb-sense optimum)
+        if fused:
+            best_ubu = jnp.min(ubu, axis=1)                  # (L,)
+            thr = jnp.minimum(s["thr"], jnp.minimum(opt_err, best_ubu))
+            thr = jnp.where(done, s["thr"], thr)
+            prune_ref = thr
+        else:
+            thr = s["thr"]
+            prune_ref = opt_err
+        lb = jnp.where(lb >= prune_ref[:, None], INF, lb)
 
         # merge + keep the C lowest-lb nodes
         all_lbs = jnp.concatenate([lbs, lb], axis=1)         # (L, C+8P)
@@ -181,7 +217,7 @@ def inner_bnb(pair: PairData, cfg: GoICPConfig, pts_rot: jnp.ndarray,
         keep_lbs = jnp.where(done[:, None], s["lbs"], keep_lbs)
 
         n_evals = jnp.sum(valid).astype(jnp.int32)
-        return dict(nodes=keep_nodes, lbs=keep_lbs, opt_err=opt_err,
+        return dict(nodes=keep_nodes, lbs=keep_lbs, opt_err=opt_err, thr=thr,
                     best_node=best_node, ub_terms=ub_terms,
                     min_dropped=min_dropped, done=done,
                     it=s["it"] + 1, evals=s["evals"] + n_evals)
@@ -192,7 +228,8 @@ def inner_bnb(pair: PairData, cfg: GoICPConfig, pts_rot: jnp.ndarray,
     # frontier min (they'd have kept searching)
     rem_min = jnp.min(s["lbs"], axis=1)
     finished = s["done"]
-    lb_safe = jnp.minimum(s["opt_err"], s["min_dropped"])
+    lb_safe = jnp.minimum(s["thr"] if fused else s["opt_err"],
+                          s["min_dropped"])
     lb_safe = jnp.where(finished, lb_safe, jnp.minimum(lb_safe, rem_min))
     return InnerResult(best_err=s["opt_err"], best_node=s["best_node"],
                        lb_safe=lb_safe, ub_terms=s["ub_terms"],

@@ -159,6 +159,10 @@ def step_bounds(pair: PairData, cfg: GoICPConfig, centers: jnp.ndarray,
     and only affects the lb pass's internal early stop, never bound
     validity.  Returns (R_lanes, res_ub, res_lb)."""
     R, pts = _rotate_lanes(pair.data, centers)
+    if cfg.fused_inner:
+        res_ub = inner_bnb(pair, cfg, pts, widths, active, opt_error,
+                           with_rot_uncertainty=False, fused=True)
+        return R, res_ub, res_ub
     res_ub = inner_bnb(pair, cfg, pts, widths, active, opt_error,
                        with_rot_uncertainty=False)
     incumbent = jnp.minimum(
@@ -299,7 +303,8 @@ def register(pair: PairData, cfg: GoICPConfig, verbose: bool = False,
             jax.device_get((R_lanes, res_ub.best_err, res_ub.best_node,
                             res_ub.ub_terms, res_ub.evals, res_lb.lb_safe,
                             res_lb.evals))
-        bound_evals += int(ub_evals) + int(lb_evals)
+        bound_evals += int(ub_evals) + \
+            (0 if cfg.fused_inner else int(lb_evals))
         ubs = np.asarray(ubs, np.float64)
         ubs[~active] = np.inf
         lbs = np.asarray(lbs, np.float64)

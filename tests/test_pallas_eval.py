@@ -1,0 +1,105 @@
+"""Pallas MXU bound kernels vs the XLA gather path (interpret mode on CPU).
+
+The kernels recompute the exact-EDT lookup as a min over occupied cells
+(bounds/pallas_eval.py); within their support envelope they must match the
+table-gather path bit-for-bit (same integer-exact arithmetic, same
+tie-breaks).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from goicp_tpu.config import GoICPConfig
+from goicp_tpu.bounds import evaluate as ev
+from goicp_tpu.bounds.pallas_eval import (chem_incomp_kernel,
+                                          geometric_bounds_kernel, supports)
+from goicp_tpu.pipeline.prepare import prepare_pair
+
+
+def _pair_and_cfg(n=37, m=41, pad_to=64, seed=3, **cfg_kw):
+    rng = np.random.default_rng(seed)
+    cfg = GoICPConfig(regularization=0.0005, ponderation=1,
+                      distTransSize=12, **cfg_kw)
+    src = rng.uniform(-0.7, 0.7, size=(n, 3))
+    tgt = rng.uniform(-0.7, 0.7, size=(m, 3))
+    sp = rng.integers(0, 9, size=n).astype(np.int32)
+    tp = rng.integers(0, 9, size=m).astype(np.int32)
+    pair = prepare_pair(src, tgt, sp, tp, cfg, pad_data_to=pad_to)
+    return pair, cfg
+
+
+def _lanes(pair, rng, L=4, B=8):
+    pts = jnp.asarray(
+        rng.uniform(-0.9, 0.9, size=(L, pair.n_data_padded, 3)),
+        jnp.float32)
+    centers = jnp.asarray(rng.uniform(-0.6, 0.6, size=(L, B, 3)), jnp.float32)
+    widths = jnp.asarray(rng.uniform(0.05, 0.5, size=(L, B)), jnp.float32)
+    return pts, centers, widths
+
+
+@pytest.mark.parametrize("norm", [1, 2])
+@pytest.mark.parametrize("with_unc", [False, True])
+def test_geometric_kernel_matches_xla(norm, with_unc):
+    pair, cfg = _pair_and_cfg(norm=norm)
+    assert supports(pair.grid.geom.size, 64, norm)
+    rng = np.random.default_rng(11)
+    pts, centers, widths = _lanes(pair, rng)
+    unc = ev.rot_uncertainty(jnp.asarray(rng.uniform(0.1, 1.0, size=(4,)),
+                                         jnp.float32),
+                             pair.norm_data) if with_unc else None
+    ub_x, lb_x = ev.geometric_bounds(pair, cfg, pts, centers, widths, unc)
+    ub_p, lb_p = geometric_bounds_kernel(
+        pts, centers, widths, unc, pair.weights, pair.grid.cell_coords,
+        pair.grid.consts, size=pair.grid.geom.size, norm=norm,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(ub_p), np.asarray(ub_x),
+                               rtol=0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(lb_p), np.asarray(lb_x),
+                               rtol=0, atol=1e-5)
+
+
+def test_geometric_kernel_oob_extension():
+    """Centers far outside the grid exercise the out-of-bounds formula."""
+    pair, cfg = _pair_and_cfg()
+    rng = np.random.default_rng(5)
+    pts, centers, widths = _lanes(pair, rng)
+    centers = centers + 2.5   # push most voxels out of bounds
+    ub_x, lb_x = ev.geometric_bounds(pair, cfg, pts, centers, widths, None)
+    ub_p, lb_p = geometric_bounds_kernel(
+        pts, centers, widths, None, pair.weights, pair.grid.cell_coords,
+        pair.grid.consts, size=pair.grid.geom.size, norm=2, interpret=True)
+    np.testing.assert_allclose(np.asarray(ub_p), np.asarray(ub_x),
+                               rtol=1e-6, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(lb_p), np.asarray(lb_x),
+                               rtol=1e-6, atol=1e-4)
+
+
+def test_chem_incomp_kernel_matches_xla():
+    pair, cfg = _pair_and_cfg()
+    rng = np.random.default_rng(7)
+    L, Q = 3, 27
+    pts = jnp.asarray(rng.uniform(-0.9, 0.9,
+                                  size=(L, pair.n_data_padded, 3)),
+                      jnp.float32)
+    corners = jnp.asarray(rng.uniform(-0.8, 0.8, size=(L, Q, 3)), jnp.float32)
+    vals = ev.chem_corner_values(pair, cfg, pts, corners)
+    got = chem_incomp_kernel(pts, corners, pair.compat_table, pair.data_mask,
+                             pair.grid.cell_coords, pair.grid.consts,
+                             size=pair.grid.geom.size, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got),
+                                  np.asarray(vals["incomp"]))
+
+
+def test_env_routing(monkeypatch):
+    """GOICP_KERNEL=pallas routes geometric_bounds through the kernel on CPU
+    (interpret is only set explicitly; compiled CPU pallas also works)."""
+    pair, cfg = _pair_and_cfg()
+    rng = np.random.default_rng(13)
+    pts, centers, widths = _lanes(pair, rng)
+    monkeypatch.setenv("GOICP_KERNEL", "xla")
+    ub_x, lb_x = ev.geometric_bounds(pair, cfg, pts, centers, widths, None)
+    monkeypatch.setenv("GOICP_KERNEL", "pallas")
+    ub_p, lb_p = ev.geometric_bounds(pair, cfg, pts, centers, widths, None)
+    np.testing.assert_allclose(np.asarray(ub_p), np.asarray(ub_x), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(lb_p), np.asarray(lb_x), atol=1e-5)
