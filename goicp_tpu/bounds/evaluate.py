@@ -36,12 +36,13 @@ def _pallas_mode() -> str:
     return os.environ.get("GOICP_KERNEL", "auto")
 
 
-def _use_pallas(pair: PairData, cfg: GoICPConfig, trimming: bool) -> bool:
+def _use_pallas(pair: PairData, cfg: GoICPConfig) -> bool:
     """Route the bound evaluation to the Pallas MXU kernels?  Decided at
     trace time; the kernels are bit-equal to the XLA gather path within
-    their support envelope (see bounds/pallas_eval.py)."""
+    their support envelope (see bounds/pallas_eval.py).  Trimming is
+    handled in-kernel (bit-bisection K-smallest selection)."""
     mode = _pallas_mode()
-    if mode == "xla" or trimming:
+    if mode == "xla":
         return False
     from goicp_tpu.bounds import pallas_eval
     c_pad = max(-(-pair.grid.cell_coords.shape[0] // 8) * 8, 8)
@@ -76,12 +77,13 @@ def geometric_bounds(pair: PairData, cfg: GoICPConfig,
     """pts_rot (L, Nd, 3); centers (L, B, 3); widths (L, B);
     rot_uncertainty (L, Nd) or None -> (ub (L,B), lb (L,B)).
     """
-    if _use_pallas(pair, cfg, trimming=pair.inlier_num < pair.n_data):
+    if _use_pallas(pair, cfg):
         from goicp_tpu.bounds.pallas_eval import geometric_bounds_kernel
         return geometric_bounds_kernel(
             pts_rot, centers, widths, rot_uncertainty, pair.weights,
             pair.grid.cell_coords, pair.grid.consts,
             size=pair.grid.geom.size, norm=cfg.norm,
+            trim_k=pair.inlier_num if pair.inlier_num < pair.n_data else 0,
             interpret=jax.default_backend() != "tpu")
     pos = pts_rot[:, None, :, :] + centers[:, :, None, :]   # (L,B,Nd,3)
     dis = pair.weights[None, None, :] * dt_distance(
@@ -126,12 +128,13 @@ def geometric_bounds_fused(pair: PairData, cfg: GoICPConfig,
     pts_rot (L,Nd,3); centers (L,B,3); widths (L,B); rot_uncertainty (L,Nd)
     -> three (L,B) arrays.
     """
-    if _use_pallas(pair, cfg, trimming=pair.inlier_num < pair.n_data):
+    if _use_pallas(pair, cfg):
         from goicp_tpu.bounds.pallas_eval import geometric_bounds_kernel
         return geometric_bounds_kernel(
             pts_rot, centers, widths, rot_uncertainty, pair.weights,
             pair.grid.cell_coords, pair.grid.consts,
             size=pair.grid.geom.size, norm=cfg.norm, fused=True,
+            trim_k=pair.inlier_num if pair.inlier_num < pair.n_data else 0,
             interpret=jax.default_backend() != "tpu")
     pos = pts_rot[:, None, :, :] + centers[:, :, None, :]   # (L,B,Nd,3)
     dis = pair.weights[None, None, :] * dt_distance(
@@ -170,7 +173,7 @@ def chem_corner_values(pair: PairData, cfg: GoICPConfig,
     only_incomp = (cfg.regularization > 0
                    and not (cfg.regularizationFPFH > 0 and cfg.cfpfh != 0)
                    and cfg.regularizationNeighbors <= 0)
-    if only_incomp and _use_pallas(pair, cfg, trimming=False):
+    if only_incomp and _use_pallas(pair, cfg):
         from goicp_tpu.bounds.pallas_eval import chem_incomp_kernel
         return {"incomp": chem_incomp_kernel(
             pts_rot, corners, pair.compat_table, pair.data_mask,

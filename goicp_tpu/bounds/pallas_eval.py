@@ -104,9 +104,54 @@ def _segment_mats(t: int, bc: int, nd: int):
     return e, e_t
 
 
+def _kth_select(vals, e, e_t, k):
+    """Per-node K-smallest selection without sorting (intro_select
+    analogue, jly_sorting.hpp:229).
+
+    vals (1,T): per-point values with padding pushed to a huge sentinel.
+    Finds each node's K-th smallest value t* by 31-step bisection over the
+    (monotonic for non-negative f32) bit space, exactly.  Returns
+    (sel (1,T) 0/1 indicator of vals <= t*, surplus (1,bc) = count(sel)-K,
+    t_star (1,bc)).  The surplus elements all equal t*, so a caller sums
+    g(vals)*sel - surplus*g(t*) to reproduce the exact trimmed sum of any
+    per-element transform g.
+    """
+    bc = e.shape[0]
+    k_f = jnp.float32(k)
+
+    def seg_sum(v):
+        return jax.lax.dot_general(
+            v, e_t, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    def expand(v):                                            # (1,bc)->(1,T)
+        return jax.lax.dot_general(
+            v, e, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    def bisect_body(_, lohi):
+        lo, hi = lohi
+        mid = lo + (hi - lo) // 2
+        t_seg = expand(pltpu.bitcast(mid, jnp.float32))
+        cnt = seg_sum((vals <= t_seg).astype(jnp.float32))
+        ge_k = cnt >= k_f
+        return (jnp.where(ge_k, lo, mid + 1), jnp.where(ge_k, mid, hi))
+
+    lo0 = jnp.zeros((1, bc), jnp.int32)
+    hi0 = jnp.full((1, bc), 0x7F7FFFFF, jnp.int32)
+    _, hi = jax.lax.fori_loop(0, 31, bisect_body, (lo0, hi0))
+    t_star = pltpu.bitcast(hi, jnp.float32)                   # (1,bc)
+    sel = (vals <= expand(t_star)).astype(jnp.float32)
+    surplus = seg_sum(sel) - k_f
+    return sel, surplus, t_star
+
+
+_TRIM_SENTINEL = 1.0e30   # pushes padded points past any real distance
+
+
 def _geom_kernel(consts_ref, pts_ref, cen_ref, wid_ref, ru_ref, w_ref,
                  cells_ref, *out_refs, nd, bc, size, c_pad, norm,
-                 with_unc, fused):
+                 with_unc, fused, trim_k):
     t = bc * nd
     size_f = jnp.float32(size)
     c_pad_f = jnp.float32(c_pad)
@@ -147,22 +192,47 @@ def _geom_kernel(consts_ref, pts_ref, cen_ref, wid_ref, ru_ref, w_ref,
     wid_seg = jax.lax.dot_general(                           # (1, T)
         wid_ref[0, 0], e, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
+    mask = w_t > 0.0   # real points (padding has zero weight)
+
+    def trimmed(v, s3w_seg, s3w_node):
+        """Trimmed (ub, lb) sums of f over the trim_k smallest v per node;
+        lb transform g(x) = f(max(x - s3w, 0)) is monotone in x, so the
+        K-smallest set is shared and the boundary correction uses g(t*)."""
+        vm = jnp.where(mask, v, _TRIM_SENTINEL)
+        sel, surplus, t_star = _kth_select(vm, e, e_t, trim_k)
+        ub = seg_sum(f(v) * sel) - surplus * f(t_star)
+        lb_all = jnp.maximum(v - s3w_seg, 0.0)
+        lb_t = jnp.maximum(t_star - s3w_node, 0.0)
+        lb = seg_sum(f(lb_all) * sel) - surplus * f(lb_t)
+        return ub, lb
+
+    s3w_seg = (SQRT3 / 2.0) * wid_seg
+    s3w_node = (SQRT3 / 2.0) * wid_ref[0, 0]                 # (1, bc)
     if fused:
         ub_ref, ubu_ref, lbu_ref = out_refs
         ru_t = jnp.concatenate([ru_ref[0]] * bc, axis=1)
         disu = jnp.maximum(dis - ru_t, 0.0)
-        lbd = jnp.maximum(disu - (SQRT3 / 2.0) * wid_seg, 0.0)
-        ub_ref[0, 0] = seg_sum(f(dis))
-        ubu_ref[0, 0] = seg_sum(f(disu))
-        lbu_ref[0, 0] = seg_sum(f(lbd))
+        if trim_k:
+            dm = jnp.where(mask, dis, _TRIM_SENTINEL)
+            sel, surplus, t_star = _kth_select(dm, e, e_t, trim_k)
+            ub_ref[0, 0] = seg_sum(f(dis) * sel) - surplus * f(t_star)
+            ubu_ref[0, 0], lbu_ref[0, 0] = trimmed(disu, s3w_seg, s3w_node)
+        else:
+            lbd = jnp.maximum(disu - s3w_seg, 0.0)
+            ub_ref[0, 0] = seg_sum(f(dis))
+            ubu_ref[0, 0] = seg_sum(f(disu))
+            lbu_ref[0, 0] = seg_sum(f(lbd))
         return
     ub_ref, lb_ref = out_refs
     if with_unc:
         ru_t = jnp.concatenate([ru_ref[0]] * bc, axis=1)
         dis = jnp.maximum(dis - ru_t, 0.0)
-    lbd = jnp.maximum(dis - (SQRT3 / 2.0) * wid_seg, 0.0)
-    ub_ref[0, 0] = seg_sum(f(dis))
-    lb_ref[0, 0] = seg_sum(f(lbd))
+    if trim_k:
+        ub_ref[0, 0], lb_ref[0, 0] = trimmed(dis, s3w_seg, s3w_node)
+    else:
+        lbd = jnp.maximum(dis - s3w_seg, 0.0)
+        ub_ref[0, 0] = seg_sum(f(dis))
+        lb_ref[0, 0] = seg_sum(f(lbd))
 
 
 def _chem_kernel(consts_ref, pts_ref, cor_ref, incomp_ref, cells_ref,
@@ -225,10 +295,11 @@ def _pad_pts(pts_t, weights, rot_unc, nd):
 
 
 @functools.partial(jax.jit, static_argnames=("size", "norm", "fused",
-                                             "interpret"))
+                                             "trim_k", "interpret"))
 def geometric_bounds_kernel(pts_rot, centers, widths, rot_unc, weights,
                             cell_coords, consts, *, size: int, norm: int,
-                            fused: bool = False, interpret: bool = False):
+                            fused: bool = False, trim_k: int = 0,
+                            interpret: bool = False):
     """Fused no-trim geometric bound evaluation.
 
     pts_rot (L,Nd,3), centers (L,B,3), widths (L,B), rot_unc (L,Nd)|None,
@@ -253,7 +324,7 @@ def geometric_bounds_kernel(pts_rot, centers, widths, rot_unc, weights,
 
     kern = functools.partial(_geom_kernel, nd=ndp, bc=bc, size=size,
                              c_pad=c_pad, norm=norm, with_unc=with_unc,
-                             fused=fused)
+                             fused=fused, trim_k=trim_k)
     k_chunks = b // bc
     grid = (l, k_chunks)
     n_out = 3 if fused else 2

@@ -33,18 +33,28 @@ def write_normalized_cloud(path: str, coords: np.ndarray,
 
 def read_point_cloud(path: str):
     """Read `N\\nx y z [c]` files. Returns (coords (N,3) f64, props (N,) i64
-    or None)."""
+    or None).
+
+    Header-tolerant: the reference data mixes headered (.txt,
+    demo/model_bunny.txt:1) and raw xyz files without a count line
+    (demo/model_bunny.xyz) — a non-integer first line is treated as data."""
     with open(path, "r") as fh:
-        n = int(fh.readline().split()[0])
-        coords = np.zeros((n, 3), dtype=np.float64)
-        props = None
-        for i in range(n):
-            tok = fh.readline().split()
-            coords[i] = [float(tok[0]), float(tok[1]), float(tok[2])]
-            if len(tok) > 3:
-                if props is None:
-                    props = np.zeros(n, dtype=np.int64)
-                props[i] = int(tok[3])
+        first = fh.readline().split()
+        rows = []
+        headered = len(first) == 1 and "." not in first[0]
+        if not headered and first:
+            rows.append(first)
+        for line in fh:
+            tok = line.split()
+            if tok:
+                rows.append(tok)
+        if headered:
+            rows = rows[: int(first[0])]
+    coords = np.array([[float(t[0]), float(t[1]), float(t[2])]
+                       for t in rows], dtype=np.float64).reshape(-1, 3)
+    props = None
+    if rows and len(rows[0]) > 3:
+        props = np.array([int(t[3]) for t in rows], dtype=np.int64)
     return coords, props
 
 

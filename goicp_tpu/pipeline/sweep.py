@@ -47,6 +47,17 @@ def run_sweep(data_root: str, cfg: GoICPConfig, out_dir: str,
             continue
         data_file = os.path.join(data_root, "cavities", f"{src}_cavity6.mol2")
         model_file = os.path.join(data_root, "cavities", f"{tgt}_cavity6.mol2")
+        missing = [p for p in (data_file, model_file) if not os.path.exists(p)]
+        if missing:
+            # the reference checks in only a handful of the BO1 cavity files;
+            # skip absent pairs instead of dying mid-sweep (the reference's
+            # bo1_GoICP.py would crash here)
+            with open(results_path, "a") as fh:
+                fh.write(json.dumps(dict(
+                    pair=k, kind=kind, source=src, target=tgt,
+                    skipped=True, missing=[os.path.basename(m)
+                                           for m in missing])) + "\n")
+            continue
         n = mol2_atom_count(data_file)
         t0 = time.time()
         res = None

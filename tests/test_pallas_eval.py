@@ -91,6 +91,33 @@ def test_chem_incomp_kernel_matches_xla():
                                   np.asarray(vals["incomp"]))
 
 
+@pytest.mark.parametrize("fused", [False, True])
+def test_trimmed_kernel_matches_xla(fused):
+    """In-kernel bit-bisection K-smallest selection == XLA top_k trimming."""
+    pair, cfg = _pair_and_cfg(trimFraction=0.2)
+    assert pair.inlier_num < pair.n_data
+    rng = np.random.default_rng(17)
+    pts, centers, widths = _lanes(pair, rng)
+    unc = ev.rot_uncertainty(
+        jnp.asarray(rng.uniform(0.1, 1.0, size=(4,)), jnp.float32),
+        pair.norm_data)
+    kw = dict(size=pair.grid.geom.size, norm=2, trim_k=pair.inlier_num,
+              interpret=True)
+    if fused:
+        xla = ev.geometric_bounds_fused(pair, cfg, pts, centers, widths, unc)
+        pal = geometric_bounds_kernel(
+            pts, centers, widths, unc, pair.weights, pair.grid.cell_coords,
+            pair.grid.consts, fused=True, **kw)
+    else:
+        xla = ev.geometric_bounds(pair, cfg, pts, centers, widths, unc)
+        pal = geometric_bounds_kernel(
+            pts, centers, widths, unc, pair.weights, pair.grid.cell_coords,
+            pair.grid.consts, **kw)
+    for got, want in zip(pal, xla):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-4)
+
+
 def test_env_routing(monkeypatch):
     """GOICP_KERNEL=pallas routes geometric_bounds through the kernel on CPU
     (interpret is only set explicitly; compiled CPU pallas also works)."""
