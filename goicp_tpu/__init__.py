@@ -29,4 +29,29 @@ Layer map (mirrors SURVEY.md section 7.1; see ARCHITECTURE.md + PARITY.md):
 
 __version__ = "0.1.0"
 
-from goicp_tpu.config import GoICPConfig  # noqa: F401
+import os as _os
+
+
+def _enable_xla_cache() -> None:
+    """Persistent XLA compilation cache (validated to work through the axon
+    TPU tunnel: recompiles of identical programs drop from minutes to
+    sub-second).  Sweeps re-jit per shape bucket and per process, so this is
+    a large end-to-end win.  Opt out with GOICP_XLA_CACHE="" or point it at
+    a different directory."""
+    path = _os.environ.get(
+        "GOICP_XLA_CACHE",
+        _os.path.join(_os.path.expanduser("~"), ".cache", "goicp_tpu_xla"))
+    if not path:
+        return
+    try:
+        import jax
+        _os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:   # cache is an optimization, never a hard dependency
+        pass
+
+
+_enable_xla_cache()
+
+from goicp_tpu.config import GoICPConfig  # noqa: F401, E402

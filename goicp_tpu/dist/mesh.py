@@ -61,17 +61,18 @@ def stack_pairs(pairs: list[PairData]) -> PairData:
 
 
 def sharded_inner_step(mesh: Mesh, cfg: GoICPConfig,
-                       with_rot_uncertainty: bool):
+                       with_rot_uncertainty: bool, fused: bool = False):
     """Build a pjit'd, pair-batched, lane-sharded inner-BnB step.
 
     Returns fn(stacked_pair, pts_rot (Pb,L,Nd,3), widths (Pb,L),
                active (Pb,L), opt_err (Pb,)) -> InnerResult with leading
     (Pb, L) axes; Pb shards over the `data` axis and L over `search`.
+    fused=True runs the single-pass ub+lb search (see search/inner.py).
     """
     vmapped = jax.vmap(
         lambda pair, pts, w, act, opt: inner_bnb(
             pair, cfg, pts, w, act, opt,
-            with_rot_uncertainty=with_rot_uncertainty))
+            with_rot_uncertainty=with_rot_uncertainty, fused=fused))
 
     pair_sh = NamedSharding(mesh, P("data"))
     lane3_sh = NamedSharding(mesh, P("data", "search"))

@@ -17,11 +17,15 @@ from goicp_tpu.io.xyz import read_point_cloud
 from goicp_tpu.pipeline.prepare import prepare_pair
 from goicp_tpu.search.outer import RegistrationResult, register
 
-# the demo's config: plain Go-ICP, no chem terms
+# the demo's config: plain Go-ICP, no chem terms.  Search shape tuned on
+# v5e for the S=300 grid (XLA gather bound path): wide translation pops with
+# a narrow rotation batch converge the bunny in ~8 outer steps / 1.3 s vs
+# the reference's 12.365 s golden (demo/output.txt:1).
 DEMO_CONFIG = GoICPConfig(
     MSEThresh=0.001, regularization=0.0, regularizationNeighbors=0.0,
     ponderation=0, cfpfh=0, regularizationFPFH=0.0,
-    trimFraction=0.0, distTransSize=300, distTransExpandFactor=2.0)
+    trimFraction=0.0, distTransSize=300, distTransExpandFactor=2.0,
+    rot_batch=4, trans_pop=32, trans_capacity=256)
 
 
 def run_demo(model_file: str, data_file: str, nd_downsampled: int = 1000,
