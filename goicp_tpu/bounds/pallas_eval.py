@@ -51,13 +51,21 @@ SQRT3 = float(np.sqrt(3.0))
 _BIG = float(2 ** 23)          # compat offset; keys stay < 2^24 (exact f32)
 _LANE = 128
 
-# node-chunk sizes (tuned for VMEM: the (Cpad, chunk*Nd) d2/key matrices)
-_BC_NODES = 4
-_BC_CORNERS = 3
-
-
 def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
+
+
+def _chunk_size(b: int, c_pad: int, ndp: int, buffers: int) -> int:
+    """Largest per-program node/corner chunk whose (c_pad, bc*ndp) work
+    matrices fit comfortably in VMEM (~3 MB per buffer), to amortize grid
+    program overhead; must divide b."""
+    budget = 3_000_000
+    cap = max(1, budget // (4 * c_pad * ndp))
+    bc = 1
+    for cand in range(1, min(cap, b) + 1):
+        if b % cand == 0:
+            bc = cand
+    return bc
 
 
 def supports(size: int, c_pad: int, n_norm: int) -> bool:
@@ -309,9 +317,9 @@ def geometric_bounds_kernel(pts_rot, centers, widths, rot_unc, weights,
     """
     l, nd, _ = pts_rot.shape
     b = centers.shape[1]
-    bc = _BC_NODES if b % _BC_NODES == 0 else 1
     cells = _pad_cells(cell_coords, size)
     c_pad = cells.shape[0]
+    bc = _chunk_size(b, c_pad, _ceil_to(nd, _LANE), buffers=3)
     pts_t = pts_rot.transpose(0, 2, 1)
     cen_t = centers.transpose(0, 2, 1)
     with_unc = rot_unc is not None
@@ -374,9 +382,9 @@ def chem_incomp_kernel(pts_rot, corners, compat_table, data_mask,
     """
     l, nd, _ = pts_rot.shape
     q = corners.shape[1]
-    bc = _BC_CORNERS if q % _BC_CORNERS == 0 else 1
     cells = _pad_cells(cell_coords, size)
     c_pad = cells.shape[0]
+    bc = _chunk_size(q, c_pad, _ceil_to(nd, _LANE), buffers=4)
     c_real = compat_table.shape[1]
 
     pts_t = pts_rot.transpose(0, 2, 1)
