@@ -43,6 +43,17 @@ def _enable_xla_cache() -> None:
         _os.path.join(_os.path.expanduser("~"), ".cache", "goicp_tpu_xla"))
     if not path:
         return
+    # segregate by platform/flags WITHOUT initializing a backend (reading
+    # jax.default_backend() here would claim the TPU at import time):
+    # entries compiled for another machine type must never be served (XLA
+    # only warns, and mismatched AOT code can SIGILL)
+    import hashlib
+    salt = hashlib.sha1(
+        (_os.environ.get("JAX_PLATFORMS", "") + "|"
+         + _os.environ.get("XLA_FLAGS", "")).encode()).hexdigest()[:10]
+    plat = (_os.environ.get("JAX_PLATFORMS", "default").split(",")[0]
+            or "default")
+    path = _os.path.join(path, f"{plat}-{salt}")
     try:
         import jax
         _os.makedirs(path, exist_ok=True)

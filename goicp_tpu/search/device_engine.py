@@ -57,12 +57,61 @@ class DeviceResult(NamedTuple):
     converged: jnp.ndarray    # bool
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def register_device(pair: PairData, cfg: GoICPConfig) -> DeviceResult:
+def _make_inner(cfg: GoICPConfig, mesh):
+    """The per-step inner search; with a mesh, rotation lanes shard over the
+    `search` axis via shard_map — each device runs the lane-batched inner
+    BnB (including its Pallas kernels, which stay device-local) on its L/n
+    lane slice; the cross-lane reductions downstream stay in the main jit.
+    This is the rotation-subtree sharding of SURVEY.md §2.4 item 3."""
+    def inner(pair, pts, widths, active, inc):
+        return inner_bnb(pair, cfg, pts, widths, active, inc,
+                         with_rot_uncertainty=False, fused=True)
+
+    if mesh is None:
+        return inner
+    from jax.sharding import PartitionSpec as P
+    try:
+        from jax import shard_map
+    except ImportError:                                   # older jax
+        from jax.experimental.shard_map import shard_map
+
+    def sharded(pair, pts, widths, active, inc):
+        res = inner_bnb(pair, cfg, pts, widths, active, inc,
+                        with_rot_uncertainty=False, fused=True)
+        # scalars differ per shard -> return as (1,) lane-ish arrays
+        return res._replace(iters=res.iters[None], evals=res.evals[None])
+
+    fn = shard_map(
+        sharded, mesh=mesh,
+        in_specs=(P(), P("search"), P("search"), P("search"), P()),
+        out_specs=type(_dummy_inner_result())(
+            best_err=P("search"), best_node=P("search"), lb_safe=P("search"),
+            ub_terms=P("search"), iters=P("search"), evals=P("search")),
+        # the while_loop carry mixes replicated inits with varying lane
+        # state; skip the varying-manual-axes check (correctness is covered
+        # by the sharded-vs-unsharded equality test)
+        check_vma=False)
+
+    def wrapped(pair, pts, widths, active, inc):
+        res = fn(pair, pts, widths, active, inc)
+        return res._replace(iters=jnp.max(res.iters),
+                            evals=jnp.sum(res.evals))
+    return wrapped
+
+
+def _dummy_inner_result():
+    from goicp_tpu.search.inner import InnerResult
+    return InnerResult(*([None] * 6))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "mesh"))
+def register_device(pair: PairData, cfg: GoICPConfig,
+                    mesh=None) -> DeviceResult:
     Cr = cfg.device_rot_capacity
     Pr = cfg.rot_batch
     L = Pr * 8
     sse = jnp.float32(cfg.MSEThresh * pair.inlier_num)
+    inner = _make_inner(cfg, mesh)
 
     # ---- initial incumbent: identity error + chem seeds, then ICP ----
     init_err = initial_error(pair, cfg)
@@ -135,8 +184,7 @@ def register_device(pair: PairData, cfg: GoICPConfig) -> DeviceResult:
         pts = jnp.einsum("lij,nj->lni", R_lanes, pair.data,
                          precision=jax.lax.Precision.HIGHEST)
         if cfg.fused_inner:
-            res_ub = inner_bnb(pair, cfg, pts, widths, active, s["opt_err"],
-                               with_rot_uncertainty=False, fused=True)
+            res_ub = inner(pair, pts, widths, active, s["opt_err"])
             res_lb = res_ub
             ubs = jnp.where(active, res_ub.best_err, INF)
             best_lane = jnp.argmin(ubs)
