@@ -56,14 +56,20 @@ def _ceil_to(x: int, m: int) -> int:
 
 
 def _chunk_size(b: int, c_pad: int, ndp: int, buffers: int) -> int:
-    """Largest per-program node/corner chunk whose (c_pad, bc*ndp) work
-    matrices fit comfortably in VMEM (~3 MB per buffer), to amortize grid
-    program overhead; must divide b."""
-    budget = 3_000_000
-    cap = max(1, budget // (4 * c_pad * ndp))
+    """Largest per-program node/corner chunk that keeps VMEM comfortable, to
+    amortize grid program overhead; must divide b.
+
+    Budget ~9 MB split across the `buffers` live (c_pad, bc*ndp) work
+    matrices, AND the (bc, bc*ndp) segment-selection matrices (which grow
+    quadratically in bc and would otherwise blow up when c_pad is tiny)."""
+    budget = 9_000_000
     bc = 1
-    for cand in range(1, min(cap, b) + 1):
-        if b % cand == 0:
+    for cand in range(1, b + 1):
+        if b % cand != 0:
+            continue
+        work = buffers * 4 * c_pad * cand * ndp
+        seg = 2 * 4 * cand * cand * ndp
+        if work + seg <= budget:
             bc = cand
     return bc
 

@@ -26,7 +26,8 @@ from goicp_tpu.chem.neighbors import _pairwise_dist
 
 def property_density(coords: np.ndarray, props: np.ndarray,
                      start: float = 0.035, step: float = 0.001,
-                     target_max: int = 19) -> np.ndarray:
+                     target_max: int = 19,
+                     max_passes: int = 10_000) -> np.ndarray:
     """Per-point fraction of same-property neighbors, with the reference's
     adaptive radius growth (neighborsDensity, jly_goicp.cpp:1503-1533):
     grow the radius argument until the max neighbor count reaches 19; the
@@ -39,12 +40,13 @@ def property_density(coords: np.ndarray, props: np.ndarray,
     same = props[:, None] == props[None, :]
     r = start
     n = len(coords)
-    while True:
+    # NB: the reference loops forever on clouds with < target_max+1 points
+    # (jly_goicp.cpp:1507 has no fallback); stop once every point sees the
+    # whole cloud, and cap passes like chem/neighbors.adaptive_neighbor_counts
+    # (unnormalized coordinates would otherwise need millions of passes)
+    for _ in range(max_passes):
         nbr = dist < np.sqrt(r)
         counts = nbr.sum(axis=1)
-        # NB: the reference loops forever on clouds with < target_max+1
-        # points (jly_goicp.cpp:1507 has no fallback); also stop once every
-        # point already sees the whole cloud
         if counts.max(initial=0) >= min(target_max, n - 1):
             break
         r += step

@@ -32,6 +32,25 @@ from goicp_tpu.pipeline.prepare import PairData
 from goicp_tpu.search.inner import inner_bnb
 
 
+def init_distributed(coordinator_address: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None) -> None:
+    """Multi-host (pod / multi-slice) initialization.
+
+    Call once per host before any jax usage; afterwards `jax.devices()`
+    spans the whole pod and `make_mesh` lays `data`×`search` over it — the
+    intra-slice axes ride ICI, cross-slice traffic rides DCN.  On Cloud TPU
+    the arguments auto-detect from the metadata server (pass nothing); on
+    other clusters pass them explicitly.  The reference has no distributed
+    runtime at all (SURVEY.md §2.4)."""
+    import jax
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs = dict(coordinator_address=coordinator_address,
+                      num_processes=num_processes, process_id=process_id)
+    jax.distributed.initialize(**kwargs)
+
+
 def make_mesh(n_data: int = 1, n_search: int | None = None,
               devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()

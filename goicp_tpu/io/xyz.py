@@ -38,10 +38,15 @@ def read_point_cloud(path: str):
     Header-tolerant: the reference data mixes headered (.txt,
     demo/model_bunny.txt:1) and raw xyz files without a count line
     (demo/model_bunny.xyz) — a non-integer first line is treated as data."""
+    def _is_count(tok: str) -> bool:
+        return tok.isdigit()
+
     with open(path, "r") as fh:
         first = fh.readline().split()
         rows = []
-        headered = len(first) == 1 and "." not in first[0]
+        # header = a bare integer count line ("N"); coordinate rows always
+        # carry decimals/signs in the reference data
+        headered = bool(first) and len(first) <= 2 and _is_count(first[0])
         if not headered and first:
             rows.append(first)
         for line in fh:
@@ -53,8 +58,10 @@ def read_point_cloud(path: str):
     coords = np.array([[float(t[0]), float(t[1]), float(t[2])]
                        for t in rows], dtype=np.float64).reshape(-1, 3)
     props = None
-    if rows and len(rows[0]) > 3:
-        props = np.array([int(t[3]) for t in rows], dtype=np.int64)
+    if any(len(t) > 3 for t in rows):
+        # per-row: missing property column defaults to 0 (rows may be mixed)
+        props = np.array([int(t[3]) if len(t) > 3 else 0 for t in rows],
+                         dtype=np.int64)
     return coords, props
 
 

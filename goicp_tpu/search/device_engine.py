@@ -72,8 +72,10 @@ def _make_inner(cfg: GoICPConfig, mesh):
     from jax.sharding import PartitionSpec as P
     try:
         from jax import shard_map
+        rep_kw = {"check_vma": False}
     except ImportError:                                   # older jax
         from jax.experimental.shard_map import shard_map
+        rep_kw = {"check_rep": False}
 
     def sharded(pair, pts, widths, active, inc):
         res = inner_bnb(pair, cfg, pts, widths, active, inc,
@@ -88,9 +90,9 @@ def _make_inner(cfg: GoICPConfig, mesh):
             best_err=P("search"), best_node=P("search"), lb_safe=P("search"),
             ub_terms=P("search"), iters=P("search"), evals=P("search")),
         # the while_loop carry mixes replicated inits with varying lane
-        # state; skip the varying-manual-axes check (correctness is covered
-        # by the sharded-vs-unsharded equality test)
-        check_vma=False)
+        # state; skip the varying-manual-axes/replication check (correctness
+        # is covered by the sharded-vs-unsharded equality test)
+        **rep_kw)
 
     def wrapped(pair, pts, widths, active, inc):
         res = fn(pair, pts, widths, active, inc)
@@ -107,6 +109,9 @@ def _dummy_inner_result():
 @functools.partial(jax.jit, static_argnames=("cfg", "mesh"))
 def register_device(pair: PairData, cfg: GoICPConfig,
                     mesh=None) -> DeviceResult:
+    if mesh is not None and not cfg.fused_inner:
+        raise ValueError("lane sharding (mesh=...) requires fused_inner=1 "
+                         "(the two-pass inner path runs unsharded)")
     Cr = cfg.device_rot_capacity
     Pr = cfg.rot_batch
     L = Pr * 8
