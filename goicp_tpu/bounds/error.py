@@ -71,7 +71,7 @@ def icp_chem_terms(pair: PairData, cfg: GoICPConfig, nn_idx: jnp.ndarray):
     if cfg.regularizationFPFH > 0 and cfg.cfpfh != 0:
         fp = jnp.sum(jnp.sum(jnp.abs(pair.data_fpfh
                                      - pair.model_fpfh[nn_idx]), axis=-1)
-                     * mask) / pair.n_data
+                     * mask) / pair.nd_f()
         fpfh_term = cfg.regularizationFPFH * fp * fp
     return nbr_term, incomp_term, fpfh_term, incomp
 
@@ -137,7 +137,8 @@ def refine_transform(pair: PairData, cfg: GoICPConfig, R0: jnp.ndarray,
     res = icp_run(pair.data, pair.model, R0, t0,
                   inlier_num=pair.inlier_num, max_iter=max_iter,
                   err_diff=cfg.err_diff,
-                  data_mask=pair.data_mask if pair.padded else None)
+                  data_mask=pair.data_mask if pair.padded else None,
+                  count=pair.inlier_f() if pair.dynamic_counts else None)
     sc = score_transform(pair, cfg, res.R, res.t, res.nn_idx)
     *_, icp_incomp = icp_chem_terms(pair, cfg, res.nn_idx)
     return bnb_count, res, sc, icp_incomp
@@ -153,7 +154,7 @@ def initial_error(pair: PairData, cfg: GoICPConfig) -> jnp.ndarray:
         wd = jnp.where(pair.data_mask > 0, wd, jnp.inf)
         wd = trimmed_smallest(wd, pair.inlier_num)
     err = _norm_sum(wd, cfg.norm)
-    nd = jnp.float32(pair.n_data)
+    nd = pair.nd_f()
     if cfg.regularization > 0:
         err = err + cfg.regularization * nd * nd
     if cfg.regularizationFPFH > 0:

@@ -198,7 +198,7 @@ def chem_corner_values(pair: PairData, cfg: GoICPConfig,
             out["incomp"] = jnp.sum(~comp, axis=-1).astype(jnp.float32)
         if cfg.regularizationFPFH > 0 and cfg.cfpfh != 0:
             fp = jnp.take(pair.fpfh_voxel.reshape(-1), rows)
-            out["fpfh"] = jnp.sum(fp, axis=-1) / pair.n_data
+            out["fpfh"] = jnp.sum(fp, axis=-1) / pair.nd_f()
         if cfg.regularizationNeighbors > 0:
             cid = nearest_cell_id(pos, pair.grid.nearest_cell,
                                   pair.grid.consts)
@@ -214,7 +214,7 @@ def chem_corner_values(pair: PairData, cfg: GoICPConfig,
             out["incomp"] = jnp.sum(~comp, axis=-1).astype(jnp.float32)
         if cfg.regularizationFPFH > 0 and cfg.cfpfh != 0:
             fp = jnp.take(pair.fpfh_table.reshape(-1), rows)
-            out["fpfh"] = jnp.sum(fp, axis=-1) / pair.n_data
+            out["fpfh"] = jnp.sum(fp, axis=-1) / pair.nd_f()
     if cfg.regularizationNeighbors > 0:
         # nearest model point within the nearest occupied cell (argmin of
         # true distances over the cell's padded point list)

@@ -48,6 +48,11 @@ class GoICPConfig:
     icp_max_iter: int = 200      # reference caps at 10000 (jly_icp3d.hpp:126);
                                  # ICP converges in <50 iters on these clouds
     max_outer_steps: int = 100_000
+    icp_seeds: int = 1           # device engine: ICP the top-K ub lanes per
+                                 # outer step (the host engine ICPs every
+                                 # improving lane, jly_goicp.cpp:771-854;
+                                 # K>1 recovers that quality at small
+                                 # rot_batch for a fraction of the lanes)
     fused_inner: int = 1         # 1 = one fused inner search per outer step
                                  # (ub+lb from a single DT lookup; halves the
                                  # bound work at identical epsilon guarantees)

@@ -66,15 +66,20 @@ def kabsch(q_d: jnp.ndarray, q_m: jnp.ndarray, w: jnp.ndarray | None = None):
                    static_argnames=("inlier_num", "max_iter"))
 def icp_run(data: jnp.ndarray, model: jnp.ndarray, R0: jnp.ndarray,
             t0: jnp.ndarray, *, inlier_num: int, max_iter: int,
-            err_diff: float, data_mask: jnp.ndarray | None = None
-            ) -> ICPResult:
+            err_diff: float, data_mask: jnp.ndarray | None = None,
+            count: jnp.ndarray | None = None) -> ICPResult:
     """Run ICP from (R0, t0). inlier_num == Nd means no trimming.
 
     data_mask (shape-bucket padding): padded rows are forced to huge NN
     distance so the top_k selection (inlier_num < n when padded) never
-    includes them in the correspondence set."""
+    includes them in the correspondence set.
+
+    count (dynamic-counts mode, no trimming): the REAL point count as a
+    traced scalar; the kept set is then exactly the data_mask rows and every
+    divisor/threshold uses `count`, so one compiled program serves pairs of
+    any real size within the padded shape."""
     n = data.shape[0]
-    trim = inlier_num < n
+    trim = count is None and inlier_num < n
 
     def body(state):
         R, t, err, _, _, it, _ = state
@@ -83,17 +88,19 @@ def icp_run(data: jnp.ndarray, model: jnp.ndarray, R0: jnp.ndarray,
         if data_mask is not None:
             d2 = jnp.where(data_mask > 0, d2, 1.0e12)
 
-        if trim:
+        if count is not None:
+            mask = data_mask
+        elif trim:
             _, keep = jax.lax.top_k(-d2, inlier_num)      # indices of smallest
             mask = jnp.zeros((n,), jnp.float32).at[keep].set(1.0)
         else:
             mask = jnp.ones((n,), jnp.float32)
         err_new = jnp.sum(d2 * mask)
 
-        converged = (err > 0) & (err - err_new < err_diff * inlier_num)
+        cnt = jnp.float32(inlier_num) if count is None else count
+        converged = (err > 0) & (err - err_new < err_diff * cnt)
 
         m_corr = model[nn_idx]                            # (Nd,3)
-        cnt = jnp.float32(inlier_num)
         mu_d = jnp.sum(pts * mask[:, None], axis=0) / cnt
         mu_m = jnp.sum(m_corr * mask[:, None], axis=0) / cnt
         R_ = kabsch((pts - mu_d) * mask[:, None],

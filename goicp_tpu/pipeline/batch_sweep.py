@@ -201,6 +201,9 @@ def register_batch(pairs: list[PairData], cfg: GoICPConfig,
     be a multiple of the axis size)."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
+    if any(p.dynamic_counts for p in pairs):
+        raise ValueError("the slot engine tracks counts host-side; pass "
+                         "static pairs (device_engine batches dynamic ones)")
     n = len(pairs)
     slots = min(slots or n, n)
     L = cfg.rot_batch * 8

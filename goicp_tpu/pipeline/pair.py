@@ -12,6 +12,11 @@ Steps (jly_main.cpp:54-179):
   7. optionally apply the transform to the full protein chain and compute
      RMSD vs the pre-aligned reference protein (the documented pipeline,
      jly_main.cpp:158-172, disabled in the reference's v0 main)
+
+The load/normalize half (`load_pair_inputs`) and the output/RMSD half
+(`finish_pair_run`) are reusable pieces so the batched device sweep
+(pipeline/device_sweep.py) can run many registrations as one XLA dispatch
+between them.
 """
 
 from __future__ import annotations
@@ -45,17 +50,31 @@ class PairRunResult:
     rmsd: float | None
 
 
-def run_pair(model_file: str, data_file: str, cfg: GoICPConfig,
-             nd_downsampled: int = 0, output_file: str | None = None,
-             pair_id: int = 1, out_dir: str | None = None,
-             cfpfh_dir: str | None = None, chains_dir: str | None = None,
-             ref_proteins_dir: str | None = None,
-             write_normalized: bool = True,
-             verbose: bool = False, engine: str = "host") -> PairRunResult:
-    """model_file: target cavity .mol2; data_file: source cavity .mol2.
+@dataclasses.dataclass
+class PairInputs:
+    """Host-side loaded + normalized inputs for one pair."""
+    src_n: np.ndarray            # quantized normalized source cloud
+    tgt_n: np.ndarray
+    src_props: np.ndarray
+    tgt_props: np.ndarray
+    src_fpfh: np.ndarray | None
+    tgt_fpfh: np.ndarray | None
+    norm: dict                   # normalize_pair output (means, scale, ...)
+    data_file: str
+    model_file: str
+    pair_id: int
 
-    engine: "host" (streaming outer loop, checkpointable, verbose logs) or
-    "device" (the whole search as one XLA program — fastest on TPU)."""
+
+def _cavity_name(path: str) -> str:
+    return os.path.splitext(os.path.basename(path))[0]
+
+
+def load_pair_inputs(model_file: str, data_file: str, cfg: GoICPConfig,
+                     pair_id: int = 1, out_dir: str | None = None,
+                     cfpfh_dir: str | None = None,
+                     write_normalized: bool = True) -> PairInputs:
+    """Steps 1-4: read, normalize to a common scale, quantize, write
+    cavitiesN artifacts, load descriptors."""
     src_coords, src_props = read_mol_file(data_file)
     tgt_coords, tgt_props = read_mol_file(model_file)
     norm = normalize_pair(src_coords, tgt_coords)
@@ -64,17 +83,14 @@ def run_pair(model_file: str, data_file: str, cfg: GoICPConfig,
     src_n = quantize_like_file(norm["source"])
     tgt_n = quantize_like_file(norm["target"])
 
-    def cavity_name(path):
-        return os.path.splitext(os.path.basename(path))[0]
-
     if write_normalized and out_dir:
         nd = os.path.join(out_dir, "cavitiesN")
         os.makedirs(nd, exist_ok=True)
         write_normalized_cloud(
-            os.path.join(nd, f"{cavity_name(data_file)}_sim{pair_id}N.xyz"),
+            os.path.join(nd, f"{_cavity_name(data_file)}_sim{pair_id}N.xyz"),
             norm["source"], src_props)
         write_normalized_cloud(
-            os.path.join(nd, f"{cavity_name(model_file)}_sim{pair_id}N.xyz"),
+            os.path.join(nd, f"{_cavity_name(model_file)}_sim{pair_id}N.xyz"),
             norm["target"], tgt_props)
 
     src_fpfh = tgt_fpfh = None
@@ -83,14 +99,19 @@ def run_pair(model_file: str, data_file: str, cfg: GoICPConfig,
         src_fpfh = read_cfpfh(cfpfh_path_for_cavity(cfpfh_dir, data_file))
         tgt_fpfh = read_cfpfh(cfpfh_path_for_cavity(cfpfh_dir, model_file))
 
-    pair = prepare_pair(src_n, tgt_n, src_props, tgt_props, cfg,
-                        src_fpfh, tgt_fpfh, nd_downsampled=nd_downsampled,
-                        bucket=True)
-    if engine == "device":
-        reg = register_with_device_engine(pair, cfg)
-    else:
-        reg = register(pair, cfg, verbose=verbose)
+    return PairInputs(src_n=src_n, tgt_n=tgt_n, src_props=src_props,
+                      tgt_props=tgt_props, src_fpfh=src_fpfh,
+                      tgt_fpfh=tgt_fpfh, norm=norm, data_file=data_file,
+                      model_file=model_file, pair_id=pair_id)
 
+
+def finish_pair_run(inputs: PairInputs, reg: RegistrationResult,
+                    output_file: str | None = None,
+                    out_dir: str | None = None,
+                    chains_dir: str | None = None,
+                    ref_proteins_dir: str | None = None) -> PairRunResult:
+    """Steps 6-7: rescale to world frame, write outputs, protein RMSD."""
+    norm = inputs.norm
     R_world, t_world = rescale_transform(
         reg.R, reg.t, norm["scale"], norm["source_mean"], norm["target_mean"])
 
@@ -105,8 +126,8 @@ def run_pair(model_file: str, data_file: str, cfg: GoICPConfig,
     # optional protein RMSD path (README.md:25, jly_main.cpp:158-172)
     rmsd_val = None
     if chains_dir and ref_proteins_dir:
-        src_id = cavity_name(data_file)[:6]
-        tgt_id = cavity_name(model_file)[:6]
+        src_id = _cavity_name(inputs.data_file)[:6]
+        tgt_id = _cavity_name(inputs.model_file)[:6]
         protein = os.path.join(chains_dir, f"{src_id}_protein.mol2")
         aligned = os.path.join(ref_proteins_dir, f"{src_id}.{tgt_id}",
                                f"aligned_{src_id}_protein.mol2")
@@ -119,12 +140,57 @@ def run_pair(model_file: str, data_file: str, cfg: GoICPConfig,
                                     get_atom_block(rot_path))
             if out_dir:
                 with open(os.path.join(out_dir, "resultsRMSD.txt"), "a") as fh:
-                    fh.write(f"{pair_id}\t{src_id}\t{tgt_id}\t"
+                    fh.write(f"{inputs.pair_id}\t{src_id}\t{tgt_id}\t"
                              f"{rmsd_val:.6f}\n")
 
     return PairRunResult(registration=reg, R=reg.R, t=reg.t,
                          R_world=R_world, t_world=t_world,
                          scale=norm["scale"], rmsd=rmsd_val)
+
+
+def run_pair(model_file: str, data_file: str, cfg: GoICPConfig,
+             nd_downsampled: int = 0, output_file: str | None = None,
+             pair_id: int = 1, out_dir: str | None = None,
+             cfpfh_dir: str | None = None, chains_dir: str | None = None,
+             ref_proteins_dir: str | None = None,
+             write_normalized: bool = True,
+             verbose: bool = False, engine: str = "host") -> PairRunResult:
+    """model_file: target cavity .mol2; data_file: source cavity .mol2.
+
+    engine: "host" (streaming outer loop, checkpointable, verbose logs) or
+    "device" (the whole search as one XLA program — fastest on TPU)."""
+    inputs = load_pair_inputs(model_file, data_file, cfg, pair_id=pair_id,
+                              out_dir=out_dir, cfpfh_dir=cfpfh_dir,
+                              write_normalized=write_normalized)
+    pair = prepare_pair(inputs.src_n, inputs.tgt_n, inputs.src_props,
+                        inputs.tgt_props, cfg, inputs.src_fpfh,
+                        inputs.tgt_fpfh, nd_downsampled=nd_downsampled,
+                        bucket=True)
+    if engine == "device":
+        reg = register_with_device_engine(pair, cfg)
+    else:
+        reg = register(pair, cfg, verbose=verbose)
+
+    return finish_pair_run(inputs, reg, output_file=output_file,
+                           out_dir=out_dir, chains_dir=chains_dir,
+                           ref_proteins_dir=ref_proteins_dir)
+
+
+def adapt_device_result(res, n_data: int, time_s: float
+                        ) -> RegistrationResult:
+    """DeviceResult (already device_get, one pair's row) -> the host
+    engine's RegistrationResult."""
+    terms = np.asarray(res.terms, np.float64)
+    comp = int(res.opt_comp)
+    return RegistrationResult(
+        error=float(res.error), R=np.asarray(res.R, np.float64),
+        t=np.asarray(res.t, np.float64), optComp=comp,
+        compatibilities=n_data - comp,
+        geom_error=float(terms[0]), incomp_error=float(terms[1]),
+        fpfh_error=float(terms[2]), last_icp=bool(res.last_icp),
+        time_s=time_s, outer_steps=int(res.outer_iters),
+        bound_evals=int(res.evals), icp_runs=int(res.outer_iters) + 1,
+        gap=float(res.gap), converged=bool(res.converged))
 
 
 def register_with_device_engine(pair, cfg) -> RegistrationResult:
@@ -133,20 +199,9 @@ def register_with_device_engine(pair, cfg) -> RegistrationResult:
     import time
 
     import jax
-    import numpy as np
 
     from goicp_tpu.search.device_engine import register_device
 
     t0 = time.time()
     res = jax.device_get(register_device(pair, cfg))
-    terms = np.asarray(res.terms, np.float64)
-    comp = int(res.opt_comp)
-    return RegistrationResult(
-        error=float(res.error), R=np.asarray(res.R, np.float64),
-        t=np.asarray(res.t, np.float64), optComp=comp,
-        compatibilities=pair.n_data - comp,
-        geom_error=float(terms[0]), incomp_error=float(terms[1]),
-        fpfh_error=float(terms[2]), last_icp=bool(res.last_icp),
-        time_s=time.time() - t0, outer_steps=int(res.outer_iters),
-        bound_evals=int(res.evals), icp_runs=int(res.outer_iters) + 1,
-        gap=float(res.gap), converged=bool(res.converged))
+    return adapt_device_result(res, pair.n_data, time.time() - t0)

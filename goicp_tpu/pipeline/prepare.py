@@ -52,24 +52,27 @@ class PairData:
     comp_voxel: jnp.ndarray    # (Nd, S^3) bool fused chem table, or (0,0)
     fpfh_voxel: jnp.ndarray    # (Nd, S^3) f32 fused chem table, or (0,0)
     data_mask: jnp.ndarray     # (Nd,) f32 1 for real points, 0 for padding
+    counts: jnp.ndarray        # (3,) f32 [n_data, inlier_num, n_model] leaf
     inlier_num: int            # static: inliers among REAL points
     n_data: int                # static: REAL data point count
     n_model: int               # static: REAL model point count
     fused_chem: bool           # static: per-voxel chem tables materialized
+    dynamic_counts: bool = False  # static: counts come from the device leaf
 
     def tree_flatten(self):
         children = (self.data, self.model, self.weights, self.data_props,
                     self.model_props, self.data_nbrs, self.model_nbrs,
                     self.data_fpfh, self.model_fpfh, self.grid,
                     self.compat_table, self.fpfh_table, self.norm_data,
-                    self.comp_voxel, self.fpfh_voxel, self.data_mask)
+                    self.comp_voxel, self.fpfh_voxel, self.data_mask,
+                    self.counts)
         return children, (self.inlier_num, self.n_data, self.n_model,
-                          self.fused_chem)
+                          self.fused_chem, self.dynamic_counts)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(*children, inlier_num=aux[0], n_data=aux[1],
-                   n_model=aux[2], fused_chem=aux[3])
+                   n_model=aux[2], fused_chem=aux[3], dynamic_counts=aux[4])
 
     @property
     def n_data_padded(self) -> int:
@@ -77,7 +80,35 @@ class PairData:
 
     @property
     def padded(self) -> bool:
-        return self.n_data_padded != self.n_data
+        return self.dynamic_counts or self.n_data_padded != self.n_data
+
+    # count VALUES for thresholds/normalizations: traced scalars in
+    # dynamic_counts mode (one compilation serves every pair in a shape
+    # bucket), python floats otherwise (baked into the program)
+    def nd_f(self):
+        return self.counts[0] if self.dynamic_counts \
+            else jnp.float32(self.n_data)
+
+    def inlier_f(self):
+        return self.counts[1] if self.dynamic_counts \
+            else jnp.float32(self.inlier_num)
+
+
+def make_count_dynamic(pair: PairData) -> PairData:
+    """Re-key a bucketed pair so its REAL point counts travel as a device
+    leaf instead of static aux: every pair in a shape bucket then shares one
+    jit cache entry AND can be stacked into one batched registration program
+    (distinct-pair batching for the BO1 sweep / serving).
+
+    Only valid with trimming off (top_k selection sizes must be static);
+    trimmed configs keep per-size compilation."""
+    if pair.inlier_num != pair.n_data:
+        raise ValueError("dynamic_counts requires trimming off "
+                         "(inlier_num == n_data)")
+    return dataclasses.replace(
+        pair, dynamic_counts=True,
+        inlier_num=pair.n_data_padded, n_data=pair.n_data_padded,
+        n_model=pair.model.shape[-2])
 
 
 def _chem_tables(grid: Grid, data_props: jnp.ndarray,
@@ -110,6 +141,30 @@ def _chem_tables(grid: Grid, data_props: jnp.ndarray,
                                  jnp.arange(K, dtype=jnp.int32))
     # cells with no points (padding) keep +inf; real lookups never hit them
     return compat_table, fpfh_table
+
+
+def bucket_dims(target: np.ndarray, nd: int, nm: int,
+                cfg: GoICPConfig) -> dict:
+    """Static shape-bucket dimensions a pair needs (cheap, host-side): the
+    occupied-cell count / max points-per-cell of the target's grid and the
+    rounded-up cloud sizes.  For cross-pair batching, take the elementwise
+    max of every pair's dims and pass them to prepare_pair."""
+    from goicp_tpu.grid.edt import grid_geometry, round_ref_np
+    tgt = np.asarray(target, np.float32)
+    geom = grid_geometry(tgt, cfg.distTransSize, cfg.distTransExpandFactor)
+    lo = np.array([geom.x_min, geom.y_min, geom.z_min])
+    vidx = np.clip(round_ref_np((tgt - lo) * geom.scale), 0, geom.size - 1)
+    flat = (vidx[:, 2].astype(np.int64) * geom.size
+            + vidx[:, 1]) * geom.size + vidx[:, 0]
+    _, counts = np.unique(flat, return_counts=True)
+
+    def ceil_to(x, m):
+        return int(-(-x // m) * m)
+
+    return dict(pad_cells=ceil_to(len(counts), 32),
+                pad_points=ceil_to(int(counts.max()), 8),
+                pad_data_to=ceil_to(nd, 32),
+                pad_model_to=ceil_to(nm, 32))
 
 
 def prepare_pair(source: np.ndarray, target: np.ndarray,
@@ -153,23 +208,11 @@ def prepare_pair(source: np.ndarray, target: np.ndarray,
     if bucket:
         # round every static dimension up to a shared bucket so one XLA
         # compilation serves all similar-sized pairs in a sweep
-        from goicp_tpu.grid.edt import grid_geometry, round_ref_np
-        geom = grid_geometry(tgt, cfg.distTransSize,
-                             cfg.distTransExpandFactor)
-        lo = np.array([geom.x_min, geom.y_min, geom.z_min])
-        vidx = np.clip(round_ref_np((tgt - lo) * geom.scale), 0,
-                       geom.size - 1)
-        flat = (vidx[:, 2].astype(np.int64) * geom.size
-                + vidx[:, 1]) * geom.size + vidx[:, 0]
-        _, counts = np.unique(flat, return_counts=True)
-
-        def ceil_to(x, m):
-            return int(-(-x // m) * m)
-
-        pad_cells = max(pad_cells or 0, ceil_to(len(counts), 32))
-        pad_points = max(pad_points or 0, ceil_to(int(counts.max()), 8))
-        pad_data_to = max(pad_data_to or 0, ceil_to(nd, 32))
-        pad_model_to = max(pad_model_to or 0, ceil_to(nm, 32))
+        dims = bucket_dims(tgt, nd, nm, cfg)
+        pad_cells = max(pad_cells or 0, dims["pad_cells"])
+        pad_points = max(pad_points or 0, dims["pad_points"])
+        pad_data_to = max(pad_data_to or 0, dims["pad_data_to"])
+        pad_model_to = max(pad_model_to or 0, dims["pad_model_to"])
 
     # grid and host-side features are computed from REAL points only
     grid = build_grid(tgt, tp, cfg.distTransSize, cfg.distTransExpandFactor,
@@ -251,5 +294,6 @@ def prepare_pair(source: np.ndarray, target: np.ndarray,
         * jnp.asarray(data_mask),
         comp_voxel=comp_voxel, fpfh_voxel=fpfh_voxel,
         data_mask=jnp.asarray(data_mask),
+        counts=jnp.asarray([nd, inlier, nm], jnp.float32),
         inlier_num=inlier, n_data=nd, n_model=nm, fused_chem=fused_chem,
     )

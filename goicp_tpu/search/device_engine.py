@@ -115,7 +115,7 @@ def register_device(pair: PairData, cfg: GoICPConfig,
     Cr = cfg.device_rot_capacity
     Pr = cfg.rot_batch
     L = Pr * 8
-    sse = jnp.float32(cfg.MSEThresh * pair.inlier_num)
+    sse = jnp.float32(cfg.MSEThresh) * pair.inlier_f()
     inner = _make_inner(cfg, mesh)
 
     # ---- initial incumbent: identity error + chem seeds, then ICP ----
@@ -123,7 +123,8 @@ def register_device(pair: PairData, cfg: GoICPConfig,
     icp0 = icp_run(pair.data, pair.model, jnp.eye(3), jnp.zeros(3),
                    inlier_num=pair.inlier_num, max_iter=cfg.icp_max_iter,
                    err_diff=cfg.err_diff,
-                   data_mask=pair.data_mask if pair.padded else None)
+                   data_mask=pair.data_mask if pair.padded else None,
+                   count=pair.inlier_f() if pair.dynamic_counts else None)
     sc0 = score_transform(pair, cfg, icp0.R, icp0.t, icp0.nn_idx)
     *_, icp0_incomp = icp_chem_terms(pair, cfg, icp0.nn_idx)
     icp0_incomp = icp0_incomp.astype(jnp.int32)
@@ -212,20 +213,39 @@ def register_device(pair: PairData, cfg: GoICPConfig,
         cand_terms = res_ub.ub_terms[best_lane]
         bnb_improved = cand_ub < s["opt_err"]
 
-        icp = icp_run(pair.data, pair.model, cand_R, cand_t,
-                      inlier_num=pair.inlier_num, max_iter=cfg.icp_max_iter,
-                      err_diff=cfg.err_diff,
-                      data_mask=pair.data_mask if pair.padded else None)
-        sc = score_transform(pair, cfg, icp.R, icp.t, icp.nn_idx)
-        *_, icp_incomp = icp_chem_terms(pair, cfg, icp.nn_idx)
+        # ICP the K lowest-ub lanes (the host engine ICPs every improving
+        # lane, jly_goicp.cpp:771-854; K seeds recover that quality when
+        # rot_batch keeps the lane count small), keep the best-scoring seed
+        K = min(cfg.icp_seeds, L)
+        _, seed_lanes = jax.lax.top_k(-ubs, K)              # (K,)
+        seed_R = R_lanes[seed_lanes]                        # (K,3,3)
+        seed_tn = res_ub.best_node[seed_lanes]
+        seed_t = seed_tn[:, :3] + seed_tn[:, 3:4] / 2.0     # (K,3)
+
+        def one_icp(R0, t0):
+            r = icp_run(pair.data, pair.model, R0, t0,
+                        inlier_num=pair.inlier_num,
+                        max_iter=cfg.icp_max_iter, err_diff=cfg.err_diff,
+                        data_mask=pair.data_mask if pair.padded else None,
+                        count=pair.inlier_f() if pair.dynamic_counts
+                        else None)
+            s_ = score_transform(pair, cfg, r.R, r.t, r.nn_idx)
+            *_, inc = icp_chem_terms(pair, cfg, r.nn_idx)
+            return r.R, r.t, s_, inc
+
+        seed_Rs, seed_ts, scs, incs = jax.vmap(one_icp)(seed_R, seed_t)
+        bi = jnp.argmin(scs.error)
+        icp_R, icp_t = seed_Rs[bi], seed_ts[bi]
+        sc = jax.tree_util.tree_map(lambda x: x[bi], scs)
+        icp_incomp = incs[bi]
         icp_improved = sc.error < incumbent
 
         # adopt: ICP result when it beats the candidate; else the candidate
         opt_err = jnp.where(icp_improved, sc.error,
                             jnp.where(bnb_improved, cand_ub, s["opt_err"]))
-        opt_R = jnp.where(icp_improved, icp.R,
+        opt_R = jnp.where(icp_improved, icp_R,
                           jnp.where(bnb_improved, cand_R, s["opt_R"]))
-        opt_t = jnp.where(icp_improved, icp.t,
+        opt_t = jnp.where(icp_improved, icp_t,
                           jnp.where(bnb_improved, cand_t, s["opt_t"]))
         bnb_comp = bnb_incompatibility_count(pair, cfg, cand_R, cand_t)
         comp = jnp.where(icp_improved, icp_incomp.astype(jnp.int32),

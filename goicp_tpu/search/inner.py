@@ -79,7 +79,7 @@ def inner_bnb(pair: PairData, cfg: GoICPConfig, pts_rot: jnp.ndarray,
     L = pts_rot.shape[0]
     C = cfg.trans_capacity
     P = cfg.trans_pop
-    sse_thresh = jnp.float32(cfg.MSEThresh * pair.inlier_num)
+    sse_thresh = jnp.float32(cfg.MSEThresh) * pair.inlier_f()
 
     mrd = rot_uncertainty(rot_widths, pair.norm_data) \
         if (with_rot_uncertainty or fused) else None

@@ -180,6 +180,9 @@ def register(pair: PairData, cfg: GoICPConfig, verbose: bool = False,
     checkpoint_path: if given, the search state (frontier + incumbent) is
     saved every `checkpoint_every` outer steps and restored on restart."""
     import os
+    if pair.dynamic_counts:
+        raise ValueError("the host engine needs static counts; "
+                         "dynamic_counts pairs are for the device engines")
     t0 = time.time()
     log = print if verbose else (lambda *a, **k: None)
     sse_thresh = cfg.MSEThresh * pair.inlier_num

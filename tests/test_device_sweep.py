@@ -1,0 +1,111 @@
+"""Dynamic-counts mode + distinct-pair batched registration / sweep."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+import jax
+
+from goicp_tpu.config import GoICPConfig
+from goicp_tpu.geom.rotation import rodrigues_np
+from goicp_tpu.pipeline.prepare import (bucket_dims, make_count_dynamic,
+                                        prepare_pair)
+from goicp_tpu.search.device_engine import (register_device,
+                                            register_device_batch)
+
+
+def _cfg(**kw):
+    base = dict(MSEThresh=0.001, regularization=0.0, ponderation=0,
+                distTransSize=20, rot_batch=4, trans_capacity=64,
+                trans_pop=4, inner_max_iters=50, device_rot_capacity=512,
+                max_outer_steps=500)
+    base.update(kw)
+    return GoICPConfig(**base)
+
+
+def _clouds(seed, n, m):
+    rng = np.random.default_rng(seed)
+    model = rng.uniform(-0.7, 0.7, size=(m, 3))
+    R = rodrigues_np(rng.uniform(-2.0, 2.0, 3))
+    tv = rng.uniform(-0.1, 0.1, 3)
+    data = (model[:n] - tv) @ R
+    dp = rng.integers(0, 9, n).astype(np.int32)
+    mp = rng.integers(0, 9, m).astype(np.int32)
+    return data, model, dp, mp
+
+
+def test_dynamic_counts_matches_static():
+    """A padded pair registered with counts-as-leaf reaches the same optimum
+    as the static-count compilation."""
+    cfg = _cfg(MSEThresh=0.01, regularization=0.0005, ponderation=1,
+               distTransSize=16)
+    data, model, dp, mp = _clouds(3, 48, 52)
+    pair = prepare_pair(data, model, dp, mp, cfg, pad_data_to=64,
+                        pad_model_to=64, pad_cells=64, pad_points=8)
+    static = jax.device_get(register_device(pair, cfg))
+    dyn_pair = make_count_dynamic(pair)
+    assert dyn_pair.padded and dyn_pair.dynamic_counts
+    dyn = jax.device_get(register_device(dyn_pair, cfg))
+    eps = cfg.MSEThresh * pair.inlier_num
+    assert bool(dyn.converged)
+    assert abs(float(dyn.error) - float(static.error)) <= eps + 1e-5
+    assert int(dyn.opt_comp) == int(static.opt_comp)
+
+
+def test_dynamic_counts_rejects_trimming():
+    cfg = _cfg(trimFraction=0.2)
+    data, model, dp, mp = _clouds(5, 40, 44)
+    pair = prepare_pair(data, model, dp, mp, cfg, pad_data_to=64,
+                        pad_model_to=64, pad_cells=64, pad_points=8)
+    with pytest.raises(ValueError):
+        make_count_dynamic(pair)
+
+
+def test_batch_of_distinct_sizes():
+    """Pairs with DIFFERENT real sizes share one bucket + one batched
+    program and each reproduces its individual registration."""
+    cfg = _cfg(max_outer_steps=300)
+    sizes = [(40, 44), (48, 52), (33, 64)]
+    raw = [_clouds(10 + i, n, m) for i, (n, m) in enumerate(sizes)]
+
+    dims: dict = {}
+    for data, model, dp, mp in raw:
+        d = bucket_dims(model, len(data), len(model), cfg)
+        dims = {k: max(dims.get(k, 0), v) for k, v in d.items()}
+
+    pairs = [prepare_pair(data, model, dp, mp, cfg, **dims)
+             for data, model, dp, mp in raw]
+    dyn = [make_count_dynamic(p) for p in pairs]
+    out = register_device_batch(dyn, cfg)
+    assert bool(np.all(np.asarray(out.converged)))
+    for i, p in enumerate(pairs):
+        single = jax.device_get(register_device(p, cfg))
+        eps = cfg.MSEThresh * p.inlier_num
+        assert abs(float(np.asarray(out.error)[i])
+                   - float(single.error)) <= eps + 1e-5
+
+
+@pytest.mark.slow
+def test_device_batch_sweep_golden_pair(ref_dir, tmp_path):
+    """device-batch sweep on BO1 pair 1 writes the standard artifacts and
+    hits the golden error/compat."""
+    from goicp_tpu.pipeline.sweep import run_sweep
+    # rot_batch=6: the quality-parity search shape (more lanes per step =>
+    # more ICP seeds => lands on the golden basin, error 7.99 / comp 133;
+    # smaller rot_batch converges inside the epsilon band but on a different
+    # optimum with a drifted compat count)
+    cfg = GoICPConfig.from_file(f"{ref_dir}/config.txt")
+    cfg = dataclasses.replace(cfg, rot_batch=6)
+    out_dir = str(tmp_path / "bo1")
+    rows = run_sweep(ref_dir, cfg, out_dir, kind="similar", limit=1,
+                     engine="device-batch")
+    assert len(rows) == 1
+    r1 = rows[0]
+    assert r1["engine"] == "device-batch"
+    assert abs(r1["error"] - 8.45388) < cfg.MSEThresh * 238
+    assert abs(r1["compatibilities"] - 133) <= 2
+    assert r1["rmsd"] is not None and r1["rmsd"] < 2.5
+    import os
+    assert os.path.exists(os.path.join(out_dir, "output", "similar1.txt"))
+    assert os.path.exists(os.path.join(out_dir, "output",
+                                       "similar1_rescaled.txt"))

@@ -35,6 +35,16 @@ def test_sweep_two_pairs_with_rmsd(ref_dir, tmp_path):
     assert r2["source"] == "2ktd_1" and r2["target"] == "4imo_2"
     assert r2["converged"]
     assert r2["rmsd"] is not None
+    # quality parity vs the reference's own checked-in pair-2 artifact
+    # (rot/rot_2ktd_1_protein.mol2 scores RMSD 13.93 against the structural
+    # alignment; our search finds a tighter optimum, RMSD ~13.39)
+    from goicp_tpu.geom.rmsd import rmsd
+    from goicp_tpu.io.mol2 import get_atom_block
+    ref_rmsd = rmsd(
+        get_atom_block(f"{ref_dir}/ref_proteins/2ktd_1.4imo_2/"
+                       "aligned_2ktd_1_protein.mol2"),
+        get_atom_block(f"{ref_dir}/rot/rot_2ktd_1_protein.mol2"))
+    assert r2["rmsd"] <= ref_rmsd + 0.5
 
     # output files exist and parse
     out1 = read_output(os.path.join(out_dir, "output", "similar1.txt"))
