@@ -48,11 +48,27 @@ def _enable_xla_cache() -> None:
     # entries compiled for another machine type must never be served (XLA
     # only warns, and mismatched AOT code can SIGILL)
     import hashlib
-    salt = hashlib.sha1(
-        (_os.environ.get("JAX_PLATFORMS", "") + "|"
-         + _os.environ.get("XLA_FLAGS", "")).encode()).hexdigest()[:10]
+    host = ""
     plat = (_os.environ.get("JAX_PLATFORMS", "default").split(",")[0]
             or "default")
+    if plat in ("cpu", "default"):
+        # XLA:CPU AOT entries are ISA-specific; key by the host's CPU
+        # feature flags so a cache written on one machine is never served
+        # to a different one (XLA only warns, and mismatched code can
+        # SIGILL)
+        try:
+            with open("/proc/cpuinfo") as fh:
+                for line in fh:
+                    if line.startswith("flags"):
+                        host = line
+                        break
+        except OSError:
+            import platform as _platform
+            host = _platform.processor() or _platform.machine()
+    salt = hashlib.sha1(
+        (_os.environ.get("JAX_PLATFORMS", "") + "|"
+         + _os.environ.get("XLA_FLAGS", "") + "|" + host
+         ).encode()).hexdigest()[:10]
     path = _os.path.join(path, f"{plat}-{salt}")
     try:
         import jax
