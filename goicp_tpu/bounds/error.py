@@ -45,6 +45,14 @@ def trimmed_smallest(vals: jnp.ndarray, inlier_num: int) -> jnp.ndarray:
     return -neg
 
 
+def trimmed_smallest_dynamic(vals: jnp.ndarray,
+                             k: jnp.ndarray) -> jnp.ndarray:
+    """Traced-k variant: sort and zero everything past rank k (a jnp.where,
+    not a multiply — dropped slots may hold +inf)."""
+    vs = jnp.sort(vals, axis=-1)
+    return jnp.where(jnp.arange(vs.shape[-1]) < k, vs, 0.0)
+
+
 def icp_chem_terms(pair: PairData, cfg: GoICPConfig, nn_idx: jnp.ndarray):
     """Chem regularization terms from ICP correspondences.
 
@@ -103,7 +111,9 @@ def score_transform(pair: PairData, cfg: GoICPConfig, R: jnp.ndarray,
 
     if cfg.doTrim:
         d = jnp.where(pair.data_mask > 0, d, jnp.inf)
-        kept = trimmed_smallest(d, pair.inlier_num)   # unweighted (quirk)
+        kept = trimmed_smallest_dynamic(d, pair.inlier_f()) \
+            if pair.dynamic_counts \
+            else trimmed_smallest(d, pair.inlier_num)  # unweighted (quirk)
         geom = jnp.sum(kept * kept)                   # always squared (quirk)
     else:
         wd = pair.weights * d                         # padding weight == 0
@@ -138,7 +148,8 @@ def refine_transform(pair: PairData, cfg: GoICPConfig, R0: jnp.ndarray,
                   inlier_num=pair.inlier_num, max_iter=max_iter,
                   err_diff=cfg.err_diff,
                   data_mask=pair.data_mask if pair.padded else None,
-                  count=pair.inlier_f() if pair.dynamic_counts else None)
+                  count=pair.inlier_f() if pair.dynamic_counts else None,
+                  dynamic_trim=pair.dynamic_counts and cfg.doTrim)
     sc = score_transform(pair, cfg, res.R, res.t, res.nn_idx)
     *_, icp_incomp = icp_chem_terms(pair, cfg, res.nn_idx)
     return bnb_count, res, sc, icp_incomp
@@ -152,7 +163,8 @@ def initial_error(pair: PairData, cfg: GoICPConfig) -> jnp.ndarray:
     wd = pair.weights * d                             # padding weight == 0
     if cfg.doTrim:
         wd = jnp.where(pair.data_mask > 0, wd, jnp.inf)
-        wd = trimmed_smallest(wd, pair.inlier_num)
+        wd = trimmed_smallest_dynamic(wd, pair.inlier_f()) \
+            if pair.dynamic_counts else trimmed_smallest(wd, pair.inlier_num)
     err = _norm_sum(wd, cfg.norm)
     nd = pair.nd_f()
     if cfg.regularization > 0:

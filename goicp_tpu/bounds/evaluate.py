@@ -71,19 +71,45 @@ def child_offsets() -> np.ndarray:
     return _CHILD_OFFSETS
 
 
+def _trim_mode(pair: PairData, cfg: GoICPConfig) -> str:
+    """'off' | 'static' (compile-time inlier_num) | 'dynamic' (traced
+    counts[1]).  In dynamic_counts mode the static inlier_num is the padded
+    size, so the trim decision comes from the config."""
+    if pair.dynamic_counts:
+        return "dynamic" if cfg.doTrim else "off"
+    return "static" if pair.inlier_num < pair.n_data else "off"
+
+
+def _rank_mask(shape_last: int, k: jnp.ndarray) -> jnp.ndarray:
+    """(..., N) bool mask keeping the first k sorted positions (k traced)."""
+    return jnp.arange(shape_last) < k
+
+
+def _sorted_trim(vals: jnp.ndarray, mask: jnp.ndarray, k: jnp.ndarray):
+    """Exact traced-k trimming: sort per node (padding forced to +inf) and
+    keep the first k positions.  Returns kept values with dropped/padded
+    slots zeroed (so downstream sums are unaffected — a jnp.where, not a
+    multiply, because inf * 0 = nan)."""
+    vs = jnp.sort(jnp.where(mask, vals, jnp.inf), axis=-1)
+    keep = _rank_mask(vs.shape[-1], k)
+    return jnp.where(keep, vs, 0.0)
+
+
 def geometric_bounds(pair: PairData, cfg: GoICPConfig,
                      pts_rot: jnp.ndarray, centers: jnp.ndarray,
                      widths: jnp.ndarray, rot_uncertainty: jnp.ndarray | None):
     """pts_rot (L, Nd, 3); centers (L, B, 3); widths (L, B);
     rot_uncertainty (L, Nd) or None -> (ub (L,B), lb (L,B)).
     """
+    trim = _trim_mode(pair, cfg)
     if _use_pallas(pair, cfg):
         from goicp_tpu.bounds.pallas_eval import geometric_bounds_kernel
         return geometric_bounds_kernel(
             pts_rot, centers, widths, rot_uncertainty, pair.weights,
             pair.grid.cell_coords, pair.grid.consts,
             size=pair.grid.geom.size, norm=cfg.norm,
-            trim_k=pair.inlier_num if pair.inlier_num < pair.n_data else 0,
+            trim_k=pair.inlier_num if trim == "static" else 0,
+            trim_count=pair.inlier_f() if trim == "dynamic" else None,
             interpret=jax.default_backend() != "tpu")
     pos = pts_rot[:, None, :, :] + centers[:, :, None, :]   # (L,B,Nd,3)
     dis = pair.weights[None, None, :] * dt_distance(
@@ -92,7 +118,10 @@ def geometric_bounds(pair: PairData, cfg: GoICPConfig,
         dis = dis - rot_uncertainty[:, None, :]
     dis = jnp.maximum(dis, 0.0)
 
-    if pair.inlier_num < pair.n_data:
+    if trim == "dynamic":
+        kept = _sorted_trim(dis, pair.data_mask[None, None, :] > 0,
+                            pair.inlier_f())
+    elif trim == "static":
         # real trimming: keep the inlier_num smallest REAL distances.
         # Padding points carry zero weight (dis == 0) and must not be
         # selected -> push to +inf.
@@ -128,20 +157,26 @@ def geometric_bounds_fused(pair: PairData, cfg: GoICPConfig,
     pts_rot (L,Nd,3); centers (L,B,3); widths (L,B); rot_uncertainty (L,Nd)
     -> three (L,B) arrays.
     """
+    trim = _trim_mode(pair, cfg)
     if _use_pallas(pair, cfg):
         from goicp_tpu.bounds.pallas_eval import geometric_bounds_kernel
         return geometric_bounds_kernel(
             pts_rot, centers, widths, rot_uncertainty, pair.weights,
             pair.grid.cell_coords, pair.grid.consts,
             size=pair.grid.geom.size, norm=cfg.norm, fused=True,
-            trim_k=pair.inlier_num if pair.inlier_num < pair.n_data else 0,
+            trim_k=pair.inlier_num if trim == "static" else 0,
+            trim_count=pair.inlier_f() if trim == "dynamic" else None,
             interpret=jax.default_backend() != "tpu")
     pos = pts_rot[:, None, :, :] + centers[:, :, None, :]   # (L,B,Nd,3)
     dis = pair.weights[None, None, :] * dt_distance(
         pos, pair.grid.dist, pair.grid.consts)              # (L,B,Nd)
     disu = jnp.maximum(dis - rot_uncertainty[:, None, :], 0.0)
 
-    if pair.inlier_num < pair.n_data:
+    if trim == "dynamic":
+        mask = pair.data_mask[None, None, :] > 0
+        kept = _sorted_trim(dis, mask, pair.inlier_f())
+        keptu = _sorted_trim(disu, mask, pair.inlier_f())
+    elif trim == "static":
         # trim each variant independently (each pass of the reference
         # intro_selects its own distances, jly_goicp.cpp:384-390)
         mask = pair.data_mask[None, None, :] > 0

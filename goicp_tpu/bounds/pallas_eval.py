@@ -118,11 +118,13 @@ def _segment_mats(t: int, bc: int, nd: int):
     return e, e_t
 
 
-def _kth_select(vals, e, e_t, k):
+def _kth_select(vals, e, e_t, k_f):
     """Per-node K-smallest selection without sorting (intro_select
     analogue, jly_sorting.hpp:229).
 
     vals (1,T): per-point values with padding pushed to a huge sentinel.
+    k_f: the K as an f32 scalar — a Python constant (static trim) or a
+    traced SMEM value (dynamic-counts trim).
     Finds each node's K-th smallest value t* by 31-step bisection over the
     (monotonic for non-negative f32) bit space, exactly.  Returns
     (sel (1,T) 0/1 indicator of vals <= t*, surplus (1,bc) = count(sel)-K,
@@ -131,7 +133,6 @@ def _kth_select(vals, e, e_t, k):
     per-element transform g.
     """
     bc = e.shape[0]
-    k_f = jnp.float32(k)
 
     def seg_sum(v):
         return jax.lax.dot_general(
@@ -165,7 +166,11 @@ _TRIM_SENTINEL = 1.0e30   # pushes padded points past any real distance
 
 def _geom_kernel(consts_ref, pts_ref, cen_ref, wid_ref, ru_ref, w_ref,
                  cells_ref, *out_refs, nd, bc, size, c_pad, norm,
-                 with_unc, fused, trim_k):
+                 with_unc, fused, trim_k, trim_dynamic):
+    # trim K: static Python constant, or traced from SMEM consts slot 5
+    # (dynamic-counts mode — one compilation serves every inlier count)
+    k_f = consts_ref[0, 5] if trim_dynamic else jnp.float32(trim_k)
+    do_trim = trim_k or trim_dynamic
     t = bc * nd
     size_f = jnp.float32(size)
     c_pad_f = jnp.float32(c_pad)
@@ -209,11 +214,11 @@ def _geom_kernel(consts_ref, pts_ref, cen_ref, wid_ref, ru_ref, w_ref,
     mask = w_t > 0.0   # real points (padding has zero weight)
 
     def trimmed(v, s3w_seg, s3w_node):
-        """Trimmed (ub, lb) sums of f over the trim_k smallest v per node;
+        """Trimmed (ub, lb) sums of f over the K smallest v per node;
         lb transform g(x) = f(max(x - s3w, 0)) is monotone in x, so the
         K-smallest set is shared and the boundary correction uses g(t*)."""
         vm = jnp.where(mask, v, _TRIM_SENTINEL)
-        sel, surplus, t_star = _kth_select(vm, e, e_t, trim_k)
+        sel, surplus, t_star = _kth_select(vm, e, e_t, k_f)
         ub = seg_sum(f(v) * sel) - surplus * f(t_star)
         lb_all = jnp.maximum(v - s3w_seg, 0.0)
         lb_t = jnp.maximum(t_star - s3w_node, 0.0)
@@ -226,9 +231,9 @@ def _geom_kernel(consts_ref, pts_ref, cen_ref, wid_ref, ru_ref, w_ref,
         ub_ref, ubu_ref, lbu_ref = out_refs
         ru_t = jnp.concatenate([ru_ref[0]] * bc, axis=1)
         disu = jnp.maximum(dis - ru_t, 0.0)
-        if trim_k:
+        if do_trim:
             dm = jnp.where(mask, dis, _TRIM_SENTINEL)
-            sel, surplus, t_star = _kth_select(dm, e, e_t, trim_k)
+            sel, surplus, t_star = _kth_select(dm, e, e_t, k_f)
             ub_ref[0, 0] = seg_sum(f(dis) * sel) - surplus * f(t_star)
             ubu_ref[0, 0], lbu_ref[0, 0] = trimmed(disu, s3w_seg, s3w_node)
         else:
@@ -241,7 +246,7 @@ def _geom_kernel(consts_ref, pts_ref, cen_ref, wid_ref, ru_ref, w_ref,
     if with_unc:
         ru_t = jnp.concatenate([ru_ref[0]] * bc, axis=1)
         dis = jnp.maximum(dis - ru_t, 0.0)
-    if trim_k:
+    if do_trim:
         ub_ref[0, 0], lb_ref[0, 0] = trimmed(dis, s3w_seg, s3w_node)
     else:
         lbd = jnp.maximum(dis - s3w_seg, 0.0)
@@ -311,15 +316,20 @@ def _pad_pts(pts_t, weights, rot_unc, nd):
 @functools.partial(jax.jit, static_argnames=("size", "norm", "fused",
                                              "trim_k", "interpret"))
 def geometric_bounds_kernel(pts_rot, centers, widths, rot_unc, weights,
-                            cell_coords, consts, *, size: int, norm: int,
+                            cell_coords, consts, trim_count=None, *,
+                            size: int, norm: int,
                             fused: bool = False, trim_k: int = 0,
                             interpret: bool = False):
-    """Fused no-trim geometric bound evaluation.
+    """Geometric bound evaluation (gather-free, MXU formulation).
 
     pts_rot (L,Nd,3), centers (L,B,3), widths (L,B), rot_unc (L,Nd)|None,
     weights (Nd,), cell_coords (C,3) i32, consts (5,) -> ub, lb (L,B); with
     fused=True -> (ub_plain, ubu, lbu) (L,B) each (see
     evaluate.geometric_bounds_fused).  Bit-equal to the XLA gather path.
+
+    Trimming: trim_k > 0 bakes the inlier count into the program;
+    trim_count (traced f32 scalar, dynamic-counts mode) ships it to the
+    kernel via an SMEM consts slot so one compilation serves every count.
     """
     l, nd, _ = pts_rot.shape
     b = centers.shape[1]
@@ -333,12 +343,16 @@ def geometric_bounds_kernel(pts_rot, centers, widths, rot_unc, weights,
                                   rot_unc if with_unc else None, nd)
     if ru is None:
         ru = jnp.zeros((l, ndp), jnp.float32)
-    consts8 = jnp.concatenate([consts.astype(jnp.float32),
-                               jnp.zeros(3, jnp.float32)])[None, :]
+    trim_dynamic = trim_count is not None
+    k_slot = jnp.asarray(trim_count, jnp.float32).reshape(1) \
+        if trim_dynamic else jnp.zeros(1, jnp.float32)
+    consts8 = jnp.concatenate([consts.astype(jnp.float32), k_slot,
+                               jnp.zeros(2, jnp.float32)])[None, :]
 
     kern = functools.partial(_geom_kernel, nd=ndp, bc=bc, size=size,
                              c_pad=c_pad, norm=norm, with_unc=with_unc,
-                             fused=fused, trim_k=trim_k)
+                             fused=fused, trim_k=trim_k,
+                             trim_dynamic=trim_dynamic)
     k_chunks = b // bc
     grid = (l, k_chunks)
     n_out = 3 if fused else 2

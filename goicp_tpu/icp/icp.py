@@ -63,21 +63,26 @@ def kabsch(q_d: jnp.ndarray, q_m: jnp.ndarray, w: jnp.ndarray | None = None):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("inlier_num", "max_iter"))
+                   static_argnames=("inlier_num", "max_iter",
+                                    "dynamic_trim"))
 def icp_run(data: jnp.ndarray, model: jnp.ndarray, R0: jnp.ndarray,
             t0: jnp.ndarray, *, inlier_num: int, max_iter: int,
             err_diff: float, data_mask: jnp.ndarray | None = None,
-            count: jnp.ndarray | None = None) -> ICPResult:
+            count: jnp.ndarray | None = None,
+            dynamic_trim: bool = False) -> ICPResult:
     """Run ICP from (R0, t0). inlier_num == Nd means no trimming.
 
     data_mask (shape-bucket padding): padded rows are forced to huge NN
     distance so the top_k selection (inlier_num < n when padded) never
     includes them in the correspondence set.
 
-    count (dynamic-counts mode, no trimming): the REAL point count as a
-    traced scalar; the kept set is then exactly the data_mask rows and every
-    divisor/threshold uses `count`, so one compiled program serves pairs of
-    any real size within the padded shape."""
+    count (dynamic-counts mode): the kept-set size as a traced scalar —
+    the REAL point count (no trimming; the kept set is exactly the
+    data_mask rows) or the REAL inlier count (dynamic_trim=True; the kept
+    set is the count smallest NN distances, selected by an exact rank mask
+    over argsort order).  Every divisor/threshold uses `count`, so one
+    compiled program serves pairs of any real size within the padded
+    shape."""
     n = data.shape[0]
     trim = count is None and inlier_num < n
 
@@ -88,7 +93,11 @@ def icp_run(data: jnp.ndarray, model: jnp.ndarray, R0: jnp.ndarray,
         if data_mask is not None:
             d2 = jnp.where(data_mask > 0, d2, 1.0e12)
 
-        if count is not None:
+        if dynamic_trim:
+            order = jnp.argsort(d2)                       # smallest first
+            in_rank = (jnp.arange(n) < count).astype(jnp.float32)
+            mask = jnp.zeros((n,), jnp.float32).at[order].set(in_rank)
+        elif count is not None:
             mask = data_mask
         elif trim:
             _, keep = jax.lax.top_k(-d2, inlier_num)      # indices of smallest

@@ -6,8 +6,9 @@ programs.  Here the sweep's runnable pairs are padded into one shared shape
 bucket, their REAL point counts moved into a device leaf
 (prepare.make_count_dynamic), and registered in chunks of `batch_size` as
 ONE vmapped XLA program each — the single-chip measured form of pair-level
-data parallelism (SURVEY.md §2.4 item 1).  Requires trimming off (the
-reference's BO1 config): trimmed top_k sizes are compile-time constants.
+data parallelism (SURVEY.md §2.4 item 1).  Trimmed configs (the
+outlier-robust dissimilar-batch setting) work too: per-pair inlier counts
+ride in the dynamic-counts device leaf.
 
 Outputs are byte-compatible with the per-pair sweep: output/<kind><k>.txt,
 *_rescaled.txt, cavitiesN clouds, rot proteins + resultsRMSD.txt, and one
@@ -40,9 +41,6 @@ def run_sweep_device_batch(data_root: str, cfg: GoICPConfig, out_dir: str,
     """data_root: reference-data checkout (cavities/, cfpfh/, chains/,
     ref_proteins/, BO1 tsv files).  mesh: optional Mesh with a `data` axis
     for multi-chip pair DP."""
-    if cfg.doTrim:
-        raise ValueError("device-batch sweep requires trimFraction < 0.001 "
-                         "(use engine='device' or 'host' for trimmed runs)")
     from goicp_tpu.search.device_engine import register_device_batch
 
     tsv = os.path.join(data_root, f"cavities_{kind}_BO1_clean.tsv")

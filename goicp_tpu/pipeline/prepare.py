@@ -100,11 +100,10 @@ def make_count_dynamic(pair: PairData) -> PairData:
     jit cache entry AND can be stacked into one batched registration program
     (distinct-pair batching for the BO1 sweep / serving).
 
-    Only valid with trimming off (top_k selection sizes must be static);
-    trimmed configs keep per-size compilation."""
-    if pair.inlier_num != pair.n_data:
-        raise ValueError("dynamic_counts requires trimming off "
-                         "(inlier_num == n_data)")
+    Trimming works too: the per-pair inlier count rides in `counts[1]` and
+    every selection switches from static top_k to an exact rank-mask over
+    sorted values (bounds/evaluate.py, icp/icp.py) or a traced-k in-kernel
+    bisection select (bounds/pallas_eval.py)."""
     return dataclasses.replace(
         pair, dynamic_counts=True,
         inlier_num=pair.n_data_padded, n_data=pair.n_data_padded,

@@ -124,7 +124,8 @@ def register_device(pair: PairData, cfg: GoICPConfig,
                    inlier_num=pair.inlier_num, max_iter=cfg.icp_max_iter,
                    err_diff=cfg.err_diff,
                    data_mask=pair.data_mask if pair.padded else None,
-                   count=pair.inlier_f() if pair.dynamic_counts else None)
+                   count=pair.inlier_f() if pair.dynamic_counts else None,
+                   dynamic_trim=pair.dynamic_counts and cfg.doTrim)
     sc0 = score_transform(pair, cfg, icp0.R, icp0.t, icp0.nn_idx)
     *_, icp0_incomp = icp_chem_terms(pair, cfg, icp0.nn_idx)
     icp0_incomp = icp0_incomp.astype(jnp.int32)
@@ -228,7 +229,8 @@ def register_device(pair: PairData, cfg: GoICPConfig,
                         max_iter=cfg.icp_max_iter, err_diff=cfg.err_diff,
                         data_mask=pair.data_mask if pair.padded else None,
                         count=pair.inlier_f() if pair.dynamic_counts
-                        else None)
+                        else None,
+                        dynamic_trim=pair.dynamic_counts and cfg.doTrim)
             s_ = score_transform(pair, cfg, r.R, r.t, r.nn_idx)
             *_, inc = icp_chem_terms(pair, cfg, r.nn_idx)
             return r.R, r.t, s_, inc

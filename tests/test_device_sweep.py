@@ -52,13 +52,44 @@ def test_dynamic_counts_matches_static():
     assert int(dyn.opt_comp) == int(static.opt_comp)
 
 
-def test_dynamic_counts_rejects_trimming():
-    cfg = _cfg(trimFraction=0.2)
+def test_dynamic_counts_trimmed_matches_static():
+    """Dynamic-counts registration WITH trimming (traced inlier count: exact
+    rank-mask / in-kernel bisection selections) reaches the static-trim
+    optimum — the outlier-robust dissimilar-batch configuration."""
+    cfg = _cfg(MSEThresh=0.01, trimFraction=0.2, distTransSize=16)
     data, model, dp, mp = _clouds(5, 40, 44)
     pair = prepare_pair(data, model, dp, mp, cfg, pad_data_to=64,
                         pad_model_to=64, pad_cells=64, pad_points=8)
-    with pytest.raises(ValueError):
-        make_count_dynamic(pair)
+    assert pair.inlier_num == 32
+    static = jax.device_get(register_device(pair, cfg))
+    dyn_pair = make_count_dynamic(pair)
+    assert float(dyn_pair.counts[1]) == 32.0
+    dyn = jax.device_get(register_device(dyn_pair, cfg))
+    eps = cfg.MSEThresh * pair.inlier_num
+    assert bool(dyn.converged)
+    assert abs(float(dyn.error) - float(static.error)) <= eps + 1e-5
+
+
+def test_batch_of_distinct_sizes_trimmed():
+    """Distinct-size pairs with trimming share one batched program; each
+    reproduces its individual (static-count) registration."""
+    cfg = _cfg(MSEThresh=0.01, trimFraction=0.15, distTransSize=16,
+               max_outer_steps=300)
+    sizes = [(40, 44), (48, 52)]
+    raw = [_clouds(20 + i, n, m) for i, (n, m) in enumerate(sizes)]
+    dims: dict = {}
+    for data, model, dp, mp in raw:
+        d = bucket_dims(model, len(data), len(model), cfg)
+        dims = {k: max(dims.get(k, 0), v) for k, v in d.items()}
+    pairs = [prepare_pair(data, model, dp, mp, cfg, **dims)
+             for data, model, dp, mp in raw]
+    out = register_device_batch([make_count_dynamic(p) for p in pairs], cfg)
+    assert bool(np.all(np.asarray(out.converged)))
+    for i, p in enumerate(pairs):
+        single = jax.device_get(register_device(p, cfg))
+        eps = cfg.MSEThresh * p.inlier_num
+        assert abs(float(np.asarray(out.error)[i])
+                   - float(single.error)) <= eps + 1e-5
 
 
 def test_batch_of_distinct_sizes():

@@ -118,6 +118,36 @@ def test_trimmed_kernel_matches_xla(fused):
                                    rtol=1e-5, atol=1e-4)
 
 
+@pytest.mark.parametrize("fused", [False, True])
+def test_dynamic_trim_kernel_matches_static(fused):
+    """Traced-k trimming (SMEM consts slot) == static trim_k compilation,
+    and == the XLA sorted rank-mask path."""
+    from goicp_tpu.pipeline.prepare import make_count_dynamic
+    pair, cfg = _pair_and_cfg(trimFraction=0.2)
+    k = pair.inlier_num
+    rng = np.random.default_rng(23)
+    pts, centers, widths = _lanes(pair, rng)
+    unc = ev.rot_uncertainty(
+        jnp.asarray(rng.uniform(0.1, 1.0, size=(4,)), jnp.float32),
+        pair.norm_data)
+    base = dict(size=pair.grid.geom.size, norm=2, fused=fused,
+                interpret=True)
+    args = (pts, centers, widths, unc, pair.weights, pair.grid.cell_coords,
+            pair.grid.consts)
+    static = geometric_bounds_kernel(*args, trim_k=k, **base)
+    dyn = geometric_bounds_kernel(*args, trim_count=jnp.float32(k), **base)
+    for got, want in zip(dyn, static):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=0, atol=1e-5)
+    # XLA path in dynamic-counts mode (sorted rank mask)
+    dp = make_count_dynamic(pair)
+    f = ev.geometric_bounds_fused if fused else ev.geometric_bounds
+    xla = f(dp, cfg, pts, centers, widths, unc)
+    for got, want in zip(dyn, xla):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-4)
+
+
 def test_env_routing(monkeypatch):
     """GOICP_KERNEL=pallas routes geometric_bounds through the kernel on CPU
     (interpret is only set explicitly; compiled CPU pallas also works)."""
