@@ -45,10 +45,17 @@ def trimmed_smallest(vals: jnp.ndarray, inlier_num: int) -> jnp.ndarray:
     return -neg
 
 
-def trimmed_smallest_dynamic(vals: jnp.ndarray,
-                             k: jnp.ndarray) -> jnp.ndarray:
+def trimmed_smallest_dynamic(vals: jnp.ndarray, k: jnp.ndarray,
+                             mask: jnp.ndarray | None = None) -> jnp.ndarray:
     """Traced-k variant: sort and zero everything past rank k (a jnp.where,
-    not a multiply — dropped slots may hold +inf)."""
+    not a multiply — dropped slots may hold +inf).
+
+    PRECONDITION: padded slots must not be selectable.  Pass `mask`
+    (truthy = real point) to have them forced to +inf here; without a mask
+    the caller must already have pushed padding past any real value
+    (zero-valued padded slots WOULD otherwise be picked as inliers)."""
+    if mask is not None:
+        vals = jnp.where(mask, vals, jnp.inf)
     vs = jnp.sort(vals, axis=-1)
     return jnp.where(jnp.arange(vs.shape[-1]) < k, vs, 0.0)
 
@@ -111,7 +118,8 @@ def score_transform(pair: PairData, cfg: GoICPConfig, R: jnp.ndarray,
 
     if cfg.doTrim:
         d = jnp.where(pair.data_mask > 0, d, jnp.inf)
-        kept = trimmed_smallest_dynamic(d, pair.inlier_f()) \
+        kept = trimmed_smallest_dynamic(d, pair.inlier_f(),
+                                        mask=pair.data_mask > 0) \
             if pair.dynamic_counts \
             else trimmed_smallest(d, pair.inlier_num)  # unweighted (quirk)
         geom = jnp.sum(kept * kept)                   # always squared (quirk)
@@ -163,7 +171,8 @@ def initial_error(pair: PairData, cfg: GoICPConfig) -> jnp.ndarray:
     wd = pair.weights * d                             # padding weight == 0
     if cfg.doTrim:
         wd = jnp.where(pair.data_mask > 0, wd, jnp.inf)
-        wd = trimmed_smallest_dynamic(wd, pair.inlier_f()) \
+        wd = trimmed_smallest_dynamic(wd, pair.inlier_f(),
+                                      mask=pair.data_mask > 0) \
             if pair.dynamic_counts else trimmed_smallest(wd, pair.inlier_num)
     err = _norm_sum(wd, cfg.norm)
     nd = pair.nd_f()

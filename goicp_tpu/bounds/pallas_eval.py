@@ -325,7 +325,11 @@ def geometric_bounds_kernel(pts_rot, centers, widths, rot_unc, weights,
     pts_rot (L,Nd,3), centers (L,B,3), widths (L,B), rot_unc (L,Nd)|None,
     weights (Nd,), cell_coords (C,3) i32, consts (5,) -> ub, lb (L,B); with
     fused=True -> (ub_plain, ubu, lbu) (L,B) each (see
-    evaluate.geometric_bounds_fused).  Bit-equal to the XLA gather path.
+    evaluate.geometric_bounds_fused).  Untrimmed sums are bit-equal to the
+    XLA gather path (every intermediate is integer-exact in f32); trimmed
+    sums select the identical inlier SET but accumulate in a different
+    order than XLA's sorted/top_k reduction, so they agree to float
+    tolerance (~1e-5 rel), not bit-for-bit.
 
     Trimming: trim_k > 0 bakes the inlier count into the program;
     trim_count (traced f32 scalar, dynamic-counts mode) ships it to the

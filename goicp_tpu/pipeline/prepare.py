@@ -281,7 +281,10 @@ def prepare_pair(source: np.ndarray, target: np.ndarray,
         comp_voxel = jnp.zeros((0, 0), bool)
         fpfh_voxel = jnp.zeros((0, 0), jnp.float32)
 
-    inlier = int(nd * (1 - cfg.trimFraction)) if cfg.doTrim else nd
+    # clamp: a tiny cloud with a large trimFraction must keep >= 1 inlier,
+    # or every trim selection returns all-zero bounds and the registration
+    # degenerates silently (reachable via small pairs in batched sweeps)
+    inlier = max(1, int(nd * (1 - cfg.trimFraction))) if cfg.doTrim else nd
     return PairData(
         data=jnp.asarray(src), model=jnp.asarray(tgt),
         weights=jnp.asarray(weights),
