@@ -1,86 +1,159 @@
 """Inner benchmark measurement (run in a child process by bench.py).
 
-Measures batched BO1 pair-1 registration throughput and writes one JSON
-object to the path given in argv[1].
+Measures DISTINCT-pair batched registration throughput — the honest form
+of the headline number: the batch mixes the two real BO1 pairs that have
+checked-in ground truth with dynamic-count synthetic pairs spanning the
+BO1 cavity size range (165-306 points), all registered as ONE vmapped
+device program (pipeline/device_sweep.py's execution shape).  Identical
+pairs would converge in lockstep and flatter the batched while_loop, which
+runs until the SLOWEST pair converges (search/device_engine.py); distinct
+pairs with distinct convergence behavior measure what a real sweep sees.
+
+Reports both BASELINE.json metrics:
+  * pairs_per_s        — batch / wall
+  * bound_evals_per_s  — total translation-node bound evaluations / wall
+    (each eval = one (node x Nd) DT-lookup + trim + ub/lb computation, the
+    reference's InnerBnB per-node hot loop, jly_goicp.cpp:343-415)
+
+Writes one JSON object to the path given in argv[1].
 """
 
 import json
 import sys
 import time
 
+import numpy as np
+
 REF = "/root/reference"
 BATCH = 64
+EASY_SYN = True  # synthetic pairs are exact rigid subsets (similar-style)
+
+
+def _load_real_pair(src_name: str, tgt_name: str, cfg):
+    """Reference-pipeline load: mol2 -> common-scale normalize -> the
+    write-then-reload 6-sig-digit quantization (jly_main.cpp:72-99)."""
+    from goicp_tpu.geom.normalize import normalize_pair
+    from goicp_tpu.io.mol2 import read_mol_file
+    from goicp_tpu.io.xyz import quantize_like_file
+
+    src, sp = read_mol_file(f"{REF}/cavities/{src_name}_cavity6.mol2")
+    tgt, tp = read_mol_file(f"{REF}/cavities/{tgt_name}_cavity6.mol2")
+    norm = normalize_pair(src, tgt)
+    return (quantize_like_file(norm["source"]),
+            quantize_like_file(norm["target"]), sp, tp)
+
+
+def _synthetic_pair(rng):
+    """A similar-style synthetic pair in the BO1 size envelope: the data
+    cloud is a rigidly transformed subset of the model cloud, properties
+    carried along (what a real cavity pair looks like after the common-scale
+    normalization into the unit ball)."""
+    from goicp_tpu.geom.rotation import rodrigues_np
+
+    nm = int(rng.integers(165, 307))
+    nd = int(rng.integers(165, nm + 1))
+    model = rng.uniform(-0.75, 0.75, size=(nm, 3))
+    R = rodrigues_np(rng.uniform(-2.5, 2.5, 3))
+    tv = rng.uniform(-0.15, 0.15, 3)
+    sel = rng.permutation(nm)[:nd]
+    data = (model[sel] - tv) @ R
+    mp = rng.integers(0, 9, nm).astype(np.int32)
+    return data.astype(np.float32), model.astype(np.float32), mp[sel], mp
+
+
+def build_batch(cfg, n_total: int = BATCH):
+    """The two real golden pairs + synthetic fill, shape-bucketed together
+    and made dynamic-count so they share one compiled program."""
+    from goicp_tpu.pipeline.prepare import (bucket_dims, make_count_dynamic,
+                                            prepare_pair)
+
+    raw = [_load_real_pair("2x86_3", "1eq2_6", cfg),    # BO1 pair 1
+           _load_real_pair("2ktd_1", "4imo_2", cfg)]    # BO1 pair 2
+    rng = np.random.default_rng(7)
+    while len(raw) < n_total:
+        raw.append(_synthetic_pair(rng))
+
+    dims: dict = {}
+    for data, model, _, _ in raw:
+        d = bucket_dims(model, len(data), len(model), cfg)
+        dims = {k: max(dims.get(k, 0), v) for k, v in d.items()}
+    pairs = [make_count_dynamic(
+        prepare_pair(data, model, dp, mp, cfg, **dims))
+        for data, model, dp, mp in raw]
+    return pairs
+
+
+def _check_parity(out, cfg, batch_pairs):
+    """Golden parity on the real pairs inside the measured batch."""
+    err = np.asarray(out.error)
+    comp = np.asarray(out.opt_comp)
+    conv = np.asarray(out.converged)
+    nd1 = batch_pairs[0].counts[0]
+    eps = cfg.MSEThresh * float(nd1)          # the reference's own epsilon
+    assert bool(conv.all()), f"unconverged pairs: {np.where(~conv)[0]}"
+    assert abs(float(err[0]) - 8.45388) < eps, \
+        f"pair-1 parity failed: error={float(err[0])}"
+    # compat can flip by one correspondence across backends (f32 tie-breaks)
+    assert abs((int(nd1) - int(comp[0])) - 133) <= 2, int(comp[0])
 
 
 def main(out_path: str):
     from goicp_tpu.config import GoICPConfig
-    from goicp_tpu.geom.normalize import normalize_pair
-    from goicp_tpu.io.mol2 import read_mol_file
-    from goicp_tpu.io.xyz import quantize_like_file
-    from goicp_tpu.pipeline.prepare import prepare_pair
-    from goicp_tpu.search.device_engine import (register_device,
-                                                register_device_batch)
-    from goicp_tpu.search.outer import register
+    from goicp_tpu.search.device_engine import (register_device_batch)
     import jax
 
     platform = jax.devices()[0].platform
 
     cfg = GoICPConfig.from_file(f"{REF}/config.txt")
-    if platform != "cpu":
-        # TPU: tuned search shape (tools/tune_batch.py, strict parity =
-        # golden error band AND compat count): one rotation cube popped per
-        # outer step but FOUR ICP seeds from the top-ub lanes — lands on the
-        # golden basin (error 8.59, comp 133) with ~6.7x fewer bound evals
-        # than rot_batch=6, ~60-66 pairs/s batched on a v5e chip
-        import dataclasses
-        cfg = dataclasses.replace(cfg, rot_batch=1, trans_capacity=64,
-                                  icp_seeds=4)
-    src, sp = read_mol_file(f"{REF}/cavities/2x86_3_cavity6.mol2")
-    tgt, tp = read_mol_file(f"{REF}/cavities/1eq2_6_cavity6.mol2")
-    norm = normalize_pair(src, tgt)
-    pair = prepare_pair(quantize_like_file(norm["source"]),
-                        quantize_like_file(norm["target"]),
-                        sp, tp, cfg, nd_downsampled=238, bucket=True)
-
-    # warm-up + parity check (single pair, fully device-side engine:
-    # ONE dispatch per registration)
-    import jax as _jax
-    res = _jax.device_get(register_device(pair, cfg))
-    eps = cfg.MSEThresh * 238
-    assert bool(res.converged) and abs(float(res.error) - 8.45388) < eps, \
-        f"parity check failed: error={float(res.error)}"
-    # compat count can flip by one correspondence across backends (f32
-    # matmul tie-breaks); the golden value is 133
-    assert abs((238 - int(res.opt_comp)) - 133) <= 2, int(res.opt_comp)
+    import dataclasses
+    # tuned search shape (tools/tune_batch.py, strict parity = golden error
+    # band AND compat count): one rotation cube popped per outer step but
+    # FOUR ICP seeds from the top-ub lanes — lands on the golden basin
+    # (error 8.59, comp 133) with ~6.7x fewer bound evals than rot_batch=6
+    cfg = dataclasses.replace(cfg, rot_batch=1, trans_capacity=64,
+                              icp_seeds=4, max_outer_steps=4000)
 
     if platform == "cpu":
-        # no lane-level parallel hardware: sequential is the best honest
-        # CPU number (batching just multiplies work per XLA op)
+        # no lane-level parallel hardware: sequential single-pair is the
+        # honest CPU fallback (batching just multiplies work per XLA op)
+        from goicp_tpu.pipeline.prepare import prepare_pair
+        from goicp_tpu.search.outer import register
+        data, model, dp, mp = _load_real_pair("2x86_3", "1eq2_6", cfg)
+        pair = prepare_pair(data, model, dp, mp, cfg, nd_downsampled=238,
+                            bucket=True)
+        eps = cfg.MSEThresh * 238
+        r = register(pair, cfg)           # warm-up + parity
+        assert abs(r.error - 8.45388) < eps
         n = 3
         t0 = time.time()
+        evals = 0
         for _ in range(n):
             r = register(pair, cfg)
+            evals += r.bound_evals
             assert abs(r.error - 8.45388) < eps
         wall = time.time() - t0
         batch = n
     else:
-        pairs = [pair] * BATCH
-        register_device_batch(pairs, cfg)   # warm (compile) the batch
-        import numpy as _np
+        pairs = build_batch(cfg, BATCH)
+        out = register_device_batch(pairs, cfg)    # warm (compile) + check
+        _check_parity(out, cfg, pairs)
         wall = float("inf")
-        for _ in range(3):                  # steady-state: best of 3
+        evals = 0
+        for _ in range(3):                         # steady-state: best of 3
             t0 = time.time()
             out = register_device_batch(pairs, cfg)
-            wall = min(wall, time.time() - t0)
-            assert bool(_np.all(_np.abs(_np.asarray(out.error) - 8.45388)
-                                < eps))
-            comp = 238 - _np.asarray(out.opt_comp)
-            assert bool(_np.all(_np.abs(comp - 133) <= 2)), comp
+            w = time.time() - t0
+            if w < wall:
+                wall = w
+                evals = int(np.sum(np.asarray(out.evals)))
+            _check_parity(out, cfg, pairs)
         batch = BATCH
 
     with open(out_path, "w") as fh:
-        json.dump({"pairs_per_s": batch / wall, "platform": platform,
-                   "wall_s": wall, "batch": batch}, fh)
+        json.dump({"pairs_per_s": batch / wall,
+                   "bound_evals_per_s": evals / wall,
+                   "platform": platform, "wall_s": wall, "batch": batch,
+                   "distinct_pairs": batch}, fh)
 
 
 if __name__ == "__main__":

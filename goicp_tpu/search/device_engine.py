@@ -106,19 +106,10 @@ def _dummy_inner_result():
     return InnerResult(*([None] * 6))
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "mesh"))
-def register_device(pair: PairData, cfg: GoICPConfig,
-                    mesh=None) -> DeviceResult:
-    if mesh is not None and not cfg.fused_inner:
-        raise ValueError("lane sharding (mesh=...) requires fused_inner=1 "
-                         "(the two-pass inner path runs unsharded)")
-    Cr = cfg.device_rot_capacity
-    Pr = cfg.rot_batch
-    L = Pr * 8
-    sse = jnp.float32(cfg.MSEThresh) * pair.inlier_f()
-    inner = _make_inner(cfg, mesh)
-
-    # ---- initial incumbent: identity error + chem seeds, then ICP ----
+def _initial_incumbent(pair: PairData, cfg: GoICPConfig):
+    """Initial incumbent: identity error + chem worst-case seeds, then one
+    ICP from identity (OuterBnB's seeding, jly_goicp.cpp:597-661).
+    Returns (opt_err0, opt_R0, opt_t0, comp0, terms0, better0)."""
     init_err = initial_error(pair, cfg)
     icp0 = icp_run(pair.data, pair.model, jnp.eye(3), jnp.zeros(3),
                    inlier_num=pair.inlier_num, max_iter=cfg.icp_max_iter,
@@ -133,32 +124,81 @@ def register_device(pair: PairData, cfg: GoICPConfig,
     opt_err0 = jnp.where(better0, sc0.error, init_err)
     opt_R0 = jnp.where(better0, icp0.R, jnp.eye(3))
     opt_t0 = jnp.where(better0, icp0.t, jnp.zeros(3))
-    comp0 = jnp.where(better0, icp0_incomp, 0)
+    comp0 = jnp.where(better0, icp0_incomp, 0).astype(jnp.int32)
     terms0 = jnp.where(better0,
                        jnp.stack([sc0.geom, sc0.incomp_term + sc0.nbr_term,
                                   sc0.fpfh_term]),
                        jnp.stack([init_err, 0.0, 0.0]))
+    return opt_err0, opt_R0, opt_t0, comp0, terms0, better0
 
-    # ---- rotation frontier: root cube ----
+
+def _icp_best_of_seeds(pair: PairData, cfg: GoICPConfig,
+                       R_lanes: jnp.ndarray, best_nodes: jnp.ndarray,
+                       ubs: jnp.ndarray):
+    """ICP-refine the K lowest-ub lanes, return the best-scoring seed:
+    (icp_R, icp_t, score, icp_incomp).  The host engine ICPs every improving
+    lane (the reference ICPs on every improvement, jly_goicp.cpp:771-854);
+    K seeds recover that quality when rot_batch keeps the lane count small.
+    R_lanes (L,3,3); best_nodes (L,4) per-lane winning trans node; ubs (L,).
+    """
+    L = R_lanes.shape[0]
+    K = min(cfg.icp_seeds, L)
+    _, seed_lanes = jax.lax.top_k(-ubs, K)              # (K,)
+    seed_R = R_lanes[seed_lanes]                        # (K,3,3)
+    seed_tn = best_nodes[seed_lanes]
+    seed_t = seed_tn[:, :3] + seed_tn[:, 3:4] / 2.0     # (K,3)
+
+    def one_icp(R0, t0):
+        r = icp_run(pair.data, pair.model, R0, t0,
+                    inlier_num=pair.inlier_num,
+                    max_iter=cfg.icp_max_iter, err_diff=cfg.err_diff,
+                    data_mask=pair.data_mask if pair.padded else None,
+                    count=pair.inlier_f() if pair.dynamic_counts
+                    else None,
+                    dynamic_trim=pair.dynamic_counts and cfg.doTrim)
+        s_ = score_transform(pair, cfg, r.R, r.t, r.nn_idx)
+        *_, inc = icp_chem_terms(pair, cfg, r.nn_idx)
+        return r.R, r.t, s_, inc
+
+    seed_Rs, seed_ts, scs, incs = jax.vmap(one_icp)(seed_R, seed_t)
+    bi = jnp.argmin(scs.error)
+    sc = jax.tree_util.tree_map(lambda x: x[bi], scs)
+    return seed_Rs[bi], seed_ts[bi], sc, incs[bi]
+
+
+def device_init(pair: PairData, cfg: GoICPConfig) -> dict:
+    """Initial search state: root rotation frontier + identity/ICP incumbent
+    (jittable; the carried state of the outer while_loop — also the
+    checkpointable unit for chunked/resumable runs)."""
+    Cr = cfg.device_rot_capacity
+    opt_err0, opt_R0, opt_t0, comp0, terms0, better0 = \
+        _initial_incumbent(pair, cfg)
+
     root = jnp.array([cfg.rotMinX, cfg.rotMinY, cfg.rotMinZ, cfg.rotWidth],
                      jnp.float32)
     fr_nodes0 = jnp.zeros((Cr, 4), jnp.float32).at[0].set(root)
     fr_lbs0 = jnp.full((Cr,), INF, jnp.float32).at[0].set(0.0)
 
-    child_off = jnp.asarray(
-        [[j & 1, (j >> 1) & 1, (j >> 2) & 1] for j in range(8)], jnp.float32)
-
-    state0 = dict(
+    return dict(
         fr_nodes=fr_nodes0, fr_lbs=fr_lbs0,
         opt_err=opt_err0, opt_R=opt_R0, opt_t=opt_t0,
-        comp=comp0.astype(jnp.int32), terms=terms0,
+        comp=comp0, terms=terms0,
         last_icp=better0, min_dropped=jnp.float32(INF),
         it=jnp.int32(0), evals=jnp.int32(0),
         converged=jnp.bool_(False), final_lb=jnp.float32(0.0),
     )
 
-    def cond(s):
-        return (~s["converged"]) & (s["it"] < cfg.max_outer_steps)
+
+def _make_body(pair: PairData, cfg: GoICPConfig, inner):
+    """One outer BnB step: pop -> expand -> inner search -> ICP -> adopt ->
+    prune/merge.  Returned fn is the while_loop body shared by the
+    one-dispatch engine and the chunked/resumable runner."""
+    Pr = cfg.rot_batch
+    L = Pr * 8
+    sse = jnp.float32(cfg.MSEThresh) * pair.inlier_f()
+    child_off = jnp.asarray(
+        [[j & 1, (j >> 1) & 1, (j >> 2) & 1] for j in range(8)], jnp.float32)
+    Cr = cfg.device_rot_capacity
 
     def body(s):
         # ---- pop the Pr lowest-lb rotation nodes ----
@@ -214,32 +254,8 @@ def register_device(pair: PairData, cfg: GoICPConfig,
         cand_terms = res_ub.ub_terms[best_lane]
         bnb_improved = cand_ub < s["opt_err"]
 
-        # ICP the K lowest-ub lanes (the host engine ICPs every improving
-        # lane, jly_goicp.cpp:771-854; K seeds recover that quality when
-        # rot_batch keeps the lane count small), keep the best-scoring seed
-        K = min(cfg.icp_seeds, L)
-        _, seed_lanes = jax.lax.top_k(-ubs, K)              # (K,)
-        seed_R = R_lanes[seed_lanes]                        # (K,3,3)
-        seed_tn = res_ub.best_node[seed_lanes]
-        seed_t = seed_tn[:, :3] + seed_tn[:, 3:4] / 2.0     # (K,3)
-
-        def one_icp(R0, t0):
-            r = icp_run(pair.data, pair.model, R0, t0,
-                        inlier_num=pair.inlier_num,
-                        max_iter=cfg.icp_max_iter, err_diff=cfg.err_diff,
-                        data_mask=pair.data_mask if pair.padded else None,
-                        count=pair.inlier_f() if pair.dynamic_counts
-                        else None,
-                        dynamic_trim=pair.dynamic_counts and cfg.doTrim)
-            s_ = score_transform(pair, cfg, r.R, r.t, r.nn_idx)
-            *_, inc = icp_chem_terms(pair, cfg, r.nn_idx)
-            return r.R, r.t, s_, inc
-
-        seed_Rs, seed_ts, scs, incs = jax.vmap(one_icp)(seed_R, seed_t)
-        bi = jnp.argmin(scs.error)
-        icp_R, icp_t = seed_Rs[bi], seed_ts[bi]
-        sc = jax.tree_util.tree_map(lambda x: x[bi], scs)
-        icp_incomp = incs[bi]
+        icp_R, icp_t, sc, icp_incomp = _icp_best_of_seeds(
+            pair, cfg, R_lanes, res_ub.best_node, ubs)
         icp_improved = sc.error < incumbent
 
         # adopt: ICP result when it beats the candidate; else the candidate
@@ -296,7 +312,12 @@ def register_device(pair: PairData, cfg: GoICPConfig,
             final_lb=final_lb,
         )
 
-    s = jax.lax.while_loop(cond, body, state0)
+    return body
+
+
+def device_finalize(state: dict) -> DeviceResult:
+    """Search state -> DeviceResult (gap folds capacity-dropped lbs)."""
+    s = state
     remaining = jnp.minimum(jnp.min(s["fr_lbs"]), s["min_dropped"])
     bound = jnp.minimum(jnp.where(s["converged"], s["final_lb"], remaining),
                         s["opt_err"])
@@ -310,6 +331,39 @@ def register_device(pair: PairData, cfg: GoICPConfig,
                         converged=s["converged"])
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "mesh", "steps"))
+def device_run_chunk(pair: PairData, cfg: GoICPConfig, state: dict,
+                     steps: int, mesh=None) -> dict:
+    """Advance the search by at most `steps` outer iterations (resumable:
+    feed the returned state back in; device_finalize when converged)."""
+    inner = _make_inner(cfg, mesh)
+    body = _make_body(pair, cfg, inner)
+    limit = jnp.minimum(state["it"] + steps,
+                        jnp.int32(cfg.max_outer_steps))
+
+    def cond(s):
+        return (~s["converged"]) & (s["it"] < limit)
+
+    return jax.lax.while_loop(cond, body, state)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "mesh"))
+def register_device(pair: PairData, cfg: GoICPConfig,
+                    mesh=None) -> DeviceResult:
+    if mesh is not None and not cfg.fused_inner:
+        raise ValueError("lane sharding (mesh=...) requires fused_inner=1 "
+                         "(the two-pass inner path runs unsharded)")
+    inner = _make_inner(cfg, mesh)
+    state0 = device_init(pair, cfg)
+    body = _make_body(pair, cfg, inner)
+
+    def cond(s):
+        return (~s["converged"]) & (s["it"] < cfg.max_outer_steps)
+
+    s = jax.lax.while_loop(cond, body, state0)
+    return device_finalize(s)
+
+
 @functools.lru_cache(maxsize=16)
 def _batched_device(cfg: GoICPConfig):
     return jax.jit(jax.vmap(lambda pair: register_device(pair, cfg)))
@@ -318,10 +372,15 @@ def _batched_device(cfg: GoICPConfig):
 def register_device_batch(pairs, cfg: GoICPConfig, mesh=None):
     """Register a same-bucket batch of pairs as ONE device program (the
     while_loop runs until every pair converges).  With a mesh, the pair
-    axis shards over `data` (multi-chip pair DP)."""
-    from goicp_tpu.dist.mesh import stack_pairs
+    axis shards over `data` (multi-chip pair DP; in a multi-process run the
+    mesh may span hosts, in which case the result stays a global array —
+    reduce it with a jit or gather addressable shards on each host)."""
+    from goicp_tpu.dist.mesh import put_global, stack_pairs
     stacked = stack_pairs(list(pairs))
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
-        stacked = jax.device_put(stacked, NamedSharding(mesh, P("data")))
-    return jax.device_get(_batched_device(cfg)(stacked))
+        stacked = put_global(stacked, NamedSharding(mesh, P("data")))
+    out = _batched_device(cfg)(stacked)
+    if getattr(out.error, "is_fully_addressable", True):
+        return jax.device_get(out)
+    return out
