@@ -79,6 +79,22 @@ def stack_pairs(pairs: list[PairData]) -> PairData:
     return jax.tree_util.tree_unflatten(treedef, stacked)
 
 
+def put_global(tree, sharding: NamedSharding):
+    """device_put a host-replicated pytree onto a (possibly multi-process)
+    sharding.  Within one process this is plain jax.device_put; when the
+    mesh spans processes, every process passes the same host value and each
+    contributes its addressable shards (jax.make_array_from_callback)."""
+    if sharding.is_fully_addressable:
+        return jax.device_put(tree, sharding)
+
+    def put(x):
+        xnp = np.asarray(x)
+        return jax.make_array_from_callback(
+            xnp.shape, sharding, lambda idx: xnp[idx])
+
+    return jax.tree_util.tree_map(put, tree)
+
+
 def sharded_inner_step(mesh: Mesh, cfg: GoICPConfig,
                        with_rot_uncertainty: bool, fused: bool = False):
     """Build a pjit'd, pair-batched, lane-sharded inner-BnB step.
