@@ -26,7 +26,7 @@ import numpy as np
 
 REF = "/root/reference"
 BATCH = 64
-EASY_SYN = True  # synthetic pairs are exact rigid subsets (similar-style)
+CHUNK_STEPS = 128   # outer steps per dispatch between compaction points
 
 
 def _load_real_pair(src_name: str, tgt_name: str, cfg):
@@ -99,7 +99,6 @@ def _check_parity(out, cfg, batch_pairs):
 
 def main(out_path: str):
     from goicp_tpu.config import GoICPConfig
-    from goicp_tpu.search.device_engine import (register_device_batch)
     import jax
 
     platform = jax.devices()[0].platform
@@ -134,14 +133,23 @@ def main(out_path: str):
         wall = time.time() - t0
         batch = n
     else:
+        from goicp_tpu.search.chunked import register_device_batch_compact
+
+        def run():
+            # chunked execution retires converged pairs between chunks and
+            # compacts the batch (64 -> ... -> 1), so the hard tail pairs
+            # do not drag 63 dead lanes through thousands of outer steps
+            return register_device_batch_compact(pairs, cfg,
+                                                 chunk_steps=CHUNK_STEPS)
+
         pairs = build_batch(cfg, BATCH)
-        out = register_device_batch(pairs, cfg)    # warm (compile) + check
+        out = run()                                # warm (compile) + check
         _check_parity(out, cfg, pairs)
         wall = float("inf")
         evals = 0
-        for _ in range(3):                         # steady-state: best of 3
+        for _ in range(2):                         # steady-state: best of 2
             t0 = time.time()
-            out = register_device_batch(pairs, cfg)
+            out = run()
             w = time.time() - t0
             if w < wall:
                 wall = w

@@ -36,17 +36,25 @@ def _pallas_mode() -> str:
     return os.environ.get("GOICP_KERNEL", "auto")
 
 
-def _use_pallas(pair: PairData, cfg: GoICPConfig) -> bool:
+def _c_pad(pair: PairData) -> int:
+    return max(-(-pair.grid.cell_coords.shape[0] // 8) * 8, 8)
+
+
+def _use_pallas(pair: PairData, cfg: GoICPConfig,
+                which: str = "geom") -> bool:
     """Route the bound evaluation to the Pallas MXU kernels?  Decided at
-    trace time; the kernels are bit-equal to the XLA gather path within
-    their support envelope (see bounds/pallas_eval.py).  Trimming is
-    handled in-kernel (bit-bisection K-smallest selection)."""
+    trace time; the kernels match the XLA gather path within their support
+    envelopes (see bounds/pallas_eval.py; untrimmed geometric sums are
+    bit-equal).  The geometric kernel (no argmin identity needed) has a
+    wider envelope than the keyed chem kernel.  Trimming is handled
+    in-kernel (bit-bisection K-smallest selection)."""
     mode = _pallas_mode()
     if mode == "xla":
         return False
     from goicp_tpu.bounds import pallas_eval
-    c_pad = max(-(-pair.grid.cell_coords.shape[0] // 8) * 8, 8)
-    ok = pallas_eval.supports(pair.grid.geom.size, c_pad, cfg.norm)
+    gate = (pallas_eval.supports_geom if which == "geom"
+            else pallas_eval.supports)
+    ok = gate(pair.grid.geom.size, _c_pad(pair), cfg.norm)
     if mode == "pallas":
         return ok
     return ok and jax.default_backend() == "tpu"
@@ -208,7 +216,7 @@ def chem_corner_values(pair: PairData, cfg: GoICPConfig,
     only_incomp = (cfg.regularization > 0
                    and not (cfg.regularizationFPFH > 0 and cfg.cfpfh != 0)
                    and cfg.regularizationNeighbors <= 0)
-    if only_incomp and _use_pallas(pair, cfg):
+    if only_incomp and _use_pallas(pair, cfg, which="chem"):
         from goicp_tpu.bounds.pallas_eval import chem_incomp_kernel
         return {"incomp": chem_incomp_kernel(
             pts_rot, corners, pair.compat_table, pair.data_mask,

@@ -75,9 +75,25 @@ def _chunk_size(b: int, c_pad: int, ndp: int, buffers: int) -> int:
 
 
 def supports(size: int, c_pad: int, n_norm: int) -> bool:
-    """Can the key encoding stay exact for this grid?  (wrapper gate)"""
+    """Can the key encoding stay exact for this grid?  (chem-kernel gate:
+    the argmin-cell identity needs the combined d2*Cpad+idx key)"""
     d2_max = 27.0 * size * size          # incl. far-padded cells at -2S
     return c_pad <= 512 and d2_max * c_pad + _BIG < 2 ** 24 and n_norm in (1, 2)
+
+
+_GEOM_C_CHUNK = 512      # cells per in-kernel min chunk (VMEM work tile)
+_GEOM_C_MAX = 2048       # past this, O(C)-per-lookup recompute loses to
+                         # the XLA gather path (see ARCHITECTURE.md)
+
+
+def supports_geom(size: int, c_pad: int, n_norm: int) -> bool:
+    """Geometric-kernel gate.  The distance needs only min d2 (no argmin
+    identity), so exactness requires just d2 itself integer-exact in f32:
+    27 S^2 < 2^24 (S <= 788).  The cell cap is a PERF bound, not an
+    exactness one: the MXU recompute is O(C) per lookup and stops beating
+    the gather path around C ~ 2k."""
+    return (c_pad <= _GEOM_C_MAX and 27.0 * size * size < 2 ** 24
+            and n_norm in (1, 2))
 
 
 # ---------------------------------------------------------------------------
@@ -105,6 +121,37 @@ def _min_key(clamped, cells, c_norm, c_iota, c_pad_f):
     d2 = c_norm - 2.0 * m + vn
     key = d2 * c_pad_f + c_iota
     return key, jnp.min(key, axis=0, keepdims=True)
+
+
+def _min_d2(clamped, cells, c_norm):
+    """clamped (3,T), cells (Cp,3) -> (1,T) min over cells of |v-c|^2,
+    integer-exact in f32 (no argmin identity needed — the geometric kernel
+    only uses the distance).  Cells are consumed in chunks of
+    _GEOM_C_CHUNK so the (chunk, T) work tile stays VMEM-resident even for
+    mid-size models (c_pad up to _GEOM_C_MAX)."""
+    c_pad = cells.shape[0]
+    vn = jnp.sum(clamped * clamped, axis=0, keepdims=True)   # (1,T)
+
+    def one(cs, cn):
+        m = jax.lax.dot_general(
+            cs, clamped, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)              # (cc,T)
+        return jnp.min(cn - 2.0 * m, axis=0, keepdims=True)
+
+    if c_pad <= _GEOM_C_CHUNK:
+        return one(cells, c_norm) + vn
+
+    cc = _GEOM_C_CHUNK
+    n_ch = -(-c_pad // cc)
+
+    def body(i, best):
+        cs = jax.lax.dynamic_slice(cells, (i * cc, 0), (cc, 3))
+        cn = jax.lax.dynamic_slice(c_norm, (i * cc, 0), (cc, 1))
+        return jnp.minimum(best, one(cs, cn))
+
+    best = jax.lax.fori_loop(
+        0, n_ch, body, jnp.full((1, clamped.shape[1]), jnp.inf, jnp.float32))
+    return best + vn
 
 
 def _segment_mats(t: int, bc: int, nd: int):
@@ -173,13 +220,11 @@ def _geom_kernel(consts_ref, pts_ref, cen_ref, wid_ref, ru_ref, w_ref,
     do_trim = trim_k or trim_dynamic
     t = bc * nd
     size_f = jnp.float32(size)
-    c_pad_f = jnp.float32(c_pad)
     p3 = pts_ref[0]                                          # (3, Nd)
     p_t = jnp.concatenate([p3] * bc, axis=1)                 # (3, T)
     w_t = jnp.concatenate([w_ref[:]] * bc, axis=1)           # (1, T)
     cells = cells_ref[:]                                     # (Cp, 3)
     c_norm = jnp.sum(cells * cells, axis=1, keepdims=True)   # (Cp, 1)
-    c_iota = jax.lax.broadcasted_iota(jnp.int32, (c_pad, 1), 0).astype(jnp.float32)
     e, e_t = _segment_mats(t, bc, nd)
 
     cen_seg = jax.lax.dot_general(                           # (3, T)
@@ -187,9 +232,9 @@ def _geom_kernel(consts_ref, pts_ref, cen_ref, wid_ref, ru_ref, w_ref,
         preferred_element_type=jnp.float32)
     pos = p_t + cen_seg
     raw, clamped = _voxelize(pos, consts_ref, size_f)
-    _, kmin = _min_key(clamped, cells, c_norm, c_iota, c_pad_f)
-
-    d2 = jnp.trunc(kmin / c_pad_f)                           # exact: key ints
+    # min d2 over occupied cells, chunked (no argmin key: geometry only
+    # needs the distance, so the 2^24 key gate does not apply here)
+    d2 = _min_d2(clamped, cells, c_norm)
     scale = consts_ref[0, 3]
     dist = jnp.sqrt(d2) / scale                              # (1, T)
     # out-of-bounds extension (DT3D::Distance, jly_3ddt.cpp:1156-1190)
@@ -339,7 +384,9 @@ def geometric_bounds_kernel(pts_rot, centers, widths, rot_unc, weights,
     b = centers.shape[1]
     cells = _pad_cells(cell_coords, size)
     c_pad = cells.shape[0]
-    bc = _chunk_size(b, c_pad, _ceil_to(nd, _LANE), buffers=3)
+    # the chunked min keeps only a (<= _GEOM_C_CHUNK, T) work tile live
+    bc = _chunk_size(b, min(c_pad, _GEOM_C_CHUNK), _ceil_to(nd, _LANE),
+                     buffers=3)
     pts_t = pts_rot.transpose(0, 2, 1)
     cen_t = centers.transpose(0, 2, 1)
     with_unc = rot_unc is not None

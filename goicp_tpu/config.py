@@ -56,6 +56,10 @@ class GoICPConfig:
     fused_inner: int = 1         # 1 = one fused inner search per outer step
                                  # (ub+lb from a single DT lookup; halves the
                                  # bound work at identical epsilon guarantees)
+    lane_compaction: int = 1     # 1 = staged inner-lane compaction
+                                 # (L -> L/2 -> L/4): done lanes are gathered
+                                 # out of the evaluated batch; bit-identical
+                                 # per-lane results, less masked work
 
     # ---- derived (jly_main.cpp:258-262) ----
     @property

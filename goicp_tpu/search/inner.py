@@ -105,8 +105,70 @@ def inner_bnb(pair: PairData, cfg: GoICPConfig, pts_rot: jnp.ndarray,
         it=jnp.int32(0), evals=jnp.int32(0),
     )
 
-    def cond(s):
-        return (~jnp.all(s["done"])) & (s["it"] < cfg.inner_max_iters)
+    def make_cond(stop_count: int):
+        """Loop predicate; with stop_count > 0 the stage exits early once
+        the active-lane count fits the next (halved) stage width."""
+        def cond(s):
+            base = (~jnp.all(s["done"])) \
+                & (s["it"] < cfg.inner_max_iters)
+            if stop_count > 0:
+                base = base & (jnp.sum(~s["done"]) > stop_count)
+            return base
+        return cond
+
+    def make_body(pts_rot, mrd):
+        return _make_inner_body(pair, cfg, pts_rot, mrd, sse_thresh,
+                                child_off, lattice_off, chem, fused)
+
+    # staged active-lane compaction (L -> L/2 -> L/4): every per-lane
+    # trajectory is independent of the other lanes, so gathering the
+    # still-active lanes into a narrower batch changes NOTHING about the
+    # search (bit-identical per-lane results, identical it/eval counters)
+    # while the evaluated tensor shrinks with the surviving work.
+    stage_widths = [L]
+    if getattr(cfg, "lane_compaction", 1) and L >= 4:
+        for w in (L // 2, max(L // 4, 1)):
+            if w < stage_widths[-1]:
+                stage_widths.append(w)
+
+    per_lane = ("nodes", "lbs", "opt_err", "thr", "best_node", "ub_terms",
+                "min_dropped", "done")
+
+    s = jax.lax.while_loop(
+        make_cond(stage_widths[1] if len(stage_widths) > 1 else 0),
+        make_body(pts_rot, mrd), state0)
+    for i in range(1, len(stage_widths)):
+        w = stage_widths[i]
+        nxt = stage_widths[i + 1] if i + 1 < len(stage_widths) else 0
+        perm = jnp.argsort(s["done"])                     # active lanes first
+        take = perm[:w]
+        sub = {k: (s[k][take] if k in per_lane else s[k]) for k in s}
+        pts_s = pts_rot[take]
+        mrd_s = mrd[take] if mrd is not None else None
+        sub = jax.lax.while_loop(make_cond(nxt), make_body(pts_s, mrd_s),
+                                 sub)
+        s = {k: (s[k].at[take].set(sub[k]) if k in per_lane else sub[k])
+             for k in s}
+
+    # safe lower bound: not converged lanes also fold in the remaining
+    # frontier min (they'd have kept searching)
+    rem_min = jnp.min(s["lbs"], axis=1)
+    finished = s["done"]
+    lb_safe = jnp.minimum(s["thr"] if fused else s["opt_err"],
+                          s["min_dropped"])
+    lb_safe = jnp.where(finished, lb_safe, jnp.minimum(lb_safe, rem_min))
+    return InnerResult(best_err=s["opt_err"], best_node=s["best_node"],
+                       lb_safe=lb_safe, ub_terms=s["ub_terms"],
+                       iters=s["it"], evals=s["evals"])
+
+
+def _make_inner_body(pair, cfg, pts_rot, mrd, sse_thresh, child_off,
+                     lattice_off, chem, fused):
+    """The per-iteration inner-BnB body for a (possibly compacted) lane
+    batch; closes over the stage's pts_rot/mrd slices."""
+    L = pts_rot.shape[0]
+    C = cfg.trans_capacity
+    P = cfg.trans_pop
 
     def body(s):
         lbs = s["lbs"]
@@ -222,15 +284,4 @@ def inner_bnb(pair: PairData, cfg: GoICPConfig, pts_rot: jnp.ndarray,
                     min_dropped=min_dropped, done=done,
                     it=s["it"] + 1, evals=s["evals"] + n_evals)
 
-    s = jax.lax.while_loop(cond, body, state0)
-
-    # safe lower bound: not converged lanes also fold in the remaining
-    # frontier min (they'd have kept searching)
-    rem_min = jnp.min(s["lbs"], axis=1)
-    finished = s["done"]
-    lb_safe = jnp.minimum(s["thr"] if fused else s["opt_err"],
-                          s["min_dropped"])
-    lb_safe = jnp.where(finished, lb_safe, jnp.minimum(lb_safe, rem_min))
-    return InnerResult(best_err=s["opt_err"], best_node=s["best_node"],
-                       lb_safe=lb_safe, ub_terms=s["ub_terms"],
-                       iters=s["it"], evals=s["evals"])
+    return body

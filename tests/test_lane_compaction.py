@@ -1,0 +1,49 @@
+"""Staged active-lane compaction (search/inner.py): gathering done lanes
+out of the evaluated batch must be invisible to the search — bit-identical
+per-lane results and identical iteration/eval counters."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from goicp_tpu.config import GoICPConfig
+from goicp_tpu.pipeline.prepare import prepare_pair
+from goicp_tpu.search.inner import inner_bnb
+
+
+def _setup():
+    cfg = GoICPConfig(MSEThresh=0.001, regularization=0.0005, ponderation=0,
+                      distTransSize=16, trans_capacity=64, trans_pop=4,
+                      inner_max_iters=60, lane_compaction=1)
+    rng = np.random.default_rng(2)
+    n, m = 40, 44
+    model = rng.uniform(-0.7, 0.7, (m, 3))
+    data = rng.uniform(-0.7, 0.7, (n, 3))
+    dp = rng.integers(0, 9, n).astype(np.int32)
+    mp = rng.integers(0, 9, m).astype(np.int32)
+    pair = prepare_pair(data, model, dp, mp, cfg, pad_cells=64, pad_points=8)
+    L = 8
+    pts = jnp.asarray(rng.uniform(-0.8, 0.8, (L, n, 3)), jnp.float32)
+    widths = jnp.asarray(rng.uniform(0.2, 1.5, (L,)), jnp.float32)
+    active = jnp.asarray([1, 1, 1, 0, 1, 1, 1, 1], bool)
+    return cfg, pair, pts, widths, active
+
+
+@pytest.mark.parametrize("fused,unc", [(True, False), (False, False),
+                                       (False, True)])
+def test_compaction_bit_identical(fused, unc):
+    cfg1, pair, pts, widths, active = _setup()
+    cfg0 = dataclasses.replace(cfg1, lane_compaction=0)
+    r1 = jax.device_get(inner_bnb(pair, cfg1, pts, widths, active,
+                                  jnp.float32(50.0),
+                                  with_rot_uncertainty=unc, fused=fused))
+    r0 = jax.device_get(inner_bnb(pair, cfg0, pts, widths, active,
+                                  jnp.float32(50.0),
+                                  with_rot_uncertainty=unc, fused=fused))
+    for f in r1._fields:
+        np.testing.assert_array_equal(np.asarray(getattr(r1, f)),
+                                      np.asarray(getattr(r0, f)),
+                                      err_msg=f)

@@ -160,3 +160,31 @@ def test_env_routing(monkeypatch):
     ub_p, lb_p = ev.geometric_bounds(pair, cfg, pts, centers, widths, None)
     np.testing.assert_allclose(np.asarray(ub_p), np.asarray(ub_x), atol=1e-5)
     np.testing.assert_allclose(np.asarray(lb_p), np.asarray(lb_x), atol=1e-5)
+
+
+def test_geometric_kernel_chunked_cells_matches_xla():
+    """Mid-size models (c_pad > 512: the in-kernel cell-chunked min path,
+    outside the keyed chem envelope but inside supports_geom) still match
+    the gather path."""
+    from goicp_tpu.bounds.pallas_eval import supports_geom
+    rng = np.random.default_rng(19)
+    cfg = GoICPConfig(regularization=0.0, ponderation=0, distTransSize=28)
+    m = 1400
+    src = rng.uniform(-0.7, 0.7, size=(40, 3))
+    tgt = rng.uniform(-0.9, 0.9, size=(m, 3))
+    sp = np.zeros(40, np.int32)
+    tp = np.zeros(m, np.int32)
+    pair = prepare_pair(src, tgt, sp, tp, cfg, pad_data_to=64)
+    c = pair.grid.cell_coords.shape[0]
+    assert c > 512, c                    # actually exercises the chunk loop
+    assert supports_geom(pair.grid.geom.size, c, 2)
+    assert not supports(pair.grid.geom.size, c, 2)
+    pts, centers, widths = _lanes(pair, rng)
+    ub_x, lb_x = ev.geometric_bounds(pair, cfg, pts, centers, widths, None)
+    ub_p, lb_p = geometric_bounds_kernel(
+        pts, centers, widths, None, pair.weights, pair.grid.cell_coords,
+        pair.grid.consts, size=pair.grid.geom.size, norm=2, interpret=True)
+    np.testing.assert_allclose(np.asarray(ub_p), np.asarray(ub_x),
+                               rtol=0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(lb_p), np.asarray(lb_x),
+                               rtol=0, atol=1e-5)
