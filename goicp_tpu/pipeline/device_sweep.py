@@ -41,8 +41,6 @@ def run_sweep_device_batch(data_root: str, cfg: GoICPConfig, out_dir: str,
     """data_root: reference-data checkout (cavities/, cfpfh/, chains/,
     ref_proteins/, BO1 tsv files).  mesh: optional Mesh with a `data` axis
     for multi-chip pair DP."""
-    from goicp_tpu.search.device_engine import register_device_batch
-
     tsv = os.path.join(data_root, f"cavities_{kind}_BO1_clean.tsv")
     pairs = read_pair_list(tsv)
     pairs = pairs[start:start + limit] if limit is not None else pairs[start:]
@@ -91,17 +89,20 @@ def run_sweep_device_batch(data_root: str, cfg: GoICPConfig, out_dir: str,
                             inputs.tgt_fpfh, nd_downsampled=n_ds, **dims)
         prepared.append(make_count_dynamic(pair))
 
-    # ---- phase 3 (device): chunks of batch_size, one dispatch each ----
+    # ---- phase 3 (device): chunks of batch_size, convergence-compacted
+    # chunked execution (hard pairs finish at small batch widths instead of
+    # dragging the whole batch; tail chunks pad with pre-converged rows so
+    # the same-bucket compilation is reused without duplicate work) ----
+    from goicp_tpu.search.chunked import register_device_batch_compact
     results = []
     for lo in range(0, len(prepared), batch_size):
         chunk = prepared[lo:lo + batch_size]
         rows = runnable[lo:lo + batch_size]
         n_real = len(chunk)
-        if lo > 0 and n_real < batch_size:
-            # reuse the full-batch compilation for the tail chunk
-            chunk = chunk + [chunk[-1]] * (batch_size - n_real)
         t0 = time.time()
-        out = register_device_batch(chunk, cfg, mesh=mesh)
+        out = register_device_batch_compact(
+            chunk, cfg, mesh=mesh,
+            pad_to=batch_size if n_real < batch_size and lo > 0 else None)
         wall = time.time() - t0
         per_pair_s = wall / n_real
 

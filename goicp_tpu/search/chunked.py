@@ -91,7 +91,8 @@ def register_device_batch_compact(pairs, cfg: GoICPConfig,
                                   mesh=None,
                                   checkpoint_path: str | None = None,
                                   resume: bool = False,
-                                  max_chunks: int | None = None):
+                                  max_chunks: int | None = None,
+                                  pad_to: int | None = None):
     """Register a same-bucket batch with convergence compaction.
 
     Returns a DeviceResult with a leading batch axis in the ORIGINAL pair
@@ -99,19 +100,24 @@ def register_device_batch_compact(pairs, cfg: GoICPConfig,
     resume=True restarts from that file (same pairs, cfg).  max_chunks
     bounds the number of chunks executed (for checkpoint tests); if hit,
     the in-flight state is saved and a partial RuntimeError is raised.
+    pad_to: round the batch up by repeating row 0, with the pad rows'
+    initial state pre-converged — they never search and retire at the
+    first compaction, so every sweep chunk reuses the same-bucket
+    compilation (no tail-chunk duplicate work).
     """
     from goicp_tpu.dist.mesh import stack_pairs
     import os
 
     B = len(pairs)
-    stacked_all = stack_pairs(list(pairs))
+    n_pad = max(0, (pad_to or B) - B)
+    stacked_all = stack_pairs(list(pairs) + [pairs[0]] * n_pad)
 
     done: dict[int, DeviceResult] = {}
     if resume and checkpoint_path and os.path.exists(checkpoint_path):
         state, active_idx, done = load_state(checkpoint_path)
         cur_pair = _take(stacked_all, active_idx)
     else:
-        active_idx = np.arange(B)
+        active_idx = np.arange(B + n_pad)
         cur_pair = stacked_all
         state = None
 
@@ -124,6 +130,9 @@ def register_device_batch_compact(pairs, cfg: GoICPConfig,
     cur_pair = _shard(cur_pair)
     if state is None:
         state = _binit(cfg)(cur_pair)
+        if n_pad:
+            pad_mask = jnp.arange(B + n_pad) >= B
+            state["converged"] = state["converged"] | pad_mask
 
     chunks = 0
     while True:

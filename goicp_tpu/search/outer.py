@@ -59,10 +59,14 @@ class PyFrontier:
                              float(w[i]), int(level[i]), float(ub[i]))))
             self._seq += 1
         if self._capacity and len(self._heap) > self._capacity:
-            keep = sorted(self._heap)[: self._capacity]
-            dropped = sorted(self._heap)[self._capacity:]
-            if dropped:
-                self.min_dropped_lb = min(self.min_dropped_lb, dropped[0][0])
+            # partial select (O(n log k), not a full sort): keep the k
+            # lowest-lb nodes, fold the best dropped lb into the gap
+            keep = heapq.nsmallest(self._capacity, self._heap)
+            kept_set_max = keep[-1]
+            self.min_dropped_lb = min(
+                self.min_dropped_lb,
+                min((e[0] for e in self._heap if e > kept_set_max),
+                    default=math.inf))
             self._heap = keep
             heapq.heapify(self._heap)
 
