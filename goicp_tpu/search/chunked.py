@@ -37,9 +37,10 @@ def _binit(cfg: GoICPConfig):
 
 
 @functools.lru_cache(maxsize=32)
-def _bchunk(cfg: GoICPConfig, steps: int):
+def _bchunk(cfg: GoICPConfig):
     return jax.jit(jax.vmap(
-        lambda p, s: device_run_chunk(p, cfg, s, steps)))
+        lambda p, s, n: device_run_chunk(p, cfg, s, n),
+        in_axes=(0, 0, None)))
 
 
 @functools.lru_cache(maxsize=4)
@@ -134,9 +135,16 @@ def register_device_batch_compact(pairs, cfg: GoICPConfig,
             pad_mask = jnp.arange(B + n_pad) >= B
             state["converged"] = state["converged"] | pad_mask
 
+    # geometric chunk schedule: early chunks are short so quickly-converging
+    # pairs retire (and the batch compacts) before long tail chunks begin;
+    # `steps` is traced, so every chunk size reuses the bucket's compilation
+    def _sched(i: int) -> int:
+        return min(chunk_steps, 16 * (4 ** i))
+
     chunks = 0
     while True:
-        state = _bchunk(cfg, chunk_steps)(cur_pair, state)
+        state = _bchunk(cfg)(cur_pair, state,
+                             np.int32(_sched(chunks)))
         chunks += 1
         conv = np.asarray(state["converged"])
         its = np.asarray(state["it"])

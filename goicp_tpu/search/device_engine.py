@@ -331,14 +331,15 @@ def device_finalize(state: dict) -> DeviceResult:
                         converged=s["converged"])
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "mesh", "steps"))
+@functools.partial(jax.jit, static_argnames=("cfg", "mesh"))
 def device_run_chunk(pair: PairData, cfg: GoICPConfig, state: dict,
-                     steps: int, mesh=None) -> dict:
+                     steps, mesh=None) -> dict:
     """Advance the search by at most `steps` outer iterations (resumable:
-    feed the returned state back in; device_finalize when converged)."""
+    feed the returned state back in; device_finalize when converged).
+    `steps` is traced, so one compilation serves any chunk schedule."""
     inner = _make_inner(cfg, mesh)
     body = _make_body(pair, cfg, inner)
-    limit = jnp.minimum(state["it"] + steps,
+    limit = jnp.minimum(state["it"] + jnp.asarray(steps, jnp.int32),
                         jnp.int32(cfg.max_outer_steps))
 
     def cond(s):
