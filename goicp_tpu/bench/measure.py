@@ -26,7 +26,8 @@ import numpy as np
 
 REF = "/root/reference"
 BATCH = 64
-CHUNK_STEPS = 128   # outer steps per dispatch between compaction points
+STREAM_WIDTH = 8    # continuous-batching window (see chunked.py)
+CHUNK_STEPS = 32    # outer steps per dispatch between retire/refill points
 
 
 def _load_real_pair(src_name: str, tgt_name: str, cfg):
@@ -105,12 +106,15 @@ def main(out_path: str):
 
     cfg = GoICPConfig.from_file(f"{REF}/config.txt")
     import dataclasses
-    # tuned search shape (tools/tune_batch.py, strict parity = golden error
-    # band AND compat count): one rotation cube popped per outer step but
-    # FOUR ICP seeds from the top-ub lanes — lands on the golden basin
-    # (error 8.59, comp 133) with ~6.7x fewer bound evals than rot_batch=6
-    cfg = dataclasses.replace(cfg, rot_batch=1, trans_capacity=64,
-                              icp_seeds=4, max_outer_steps=4000)
+    # tuned search shape, strict parity (golden error band AND compat
+    # count +-2: error 8.62, comp 132 on pair 1).  WIDE pops: the engine is
+    # latency-bound (~1 ms per sequential inner iteration regardless of
+    # width), so popping 6 rotation cubes and 32 translation nodes per
+    # iteration collapses the sequential depth ~20x (pair-1 registration:
+    # 16 total inner iterations) at negligible extra FLOP cost
+    cfg = dataclasses.replace(cfg, rot_batch=6, trans_capacity=128,
+                              trans_pop=32, icp_seeds=1,
+                              max_outer_steps=4000)
 
     if platform == "cpu":
         # no lane-level parallel hardware: sequential single-pair is the
@@ -133,14 +137,17 @@ def main(out_path: str):
         wall = time.time() - t0
         batch = n
     else:
-        from goicp_tpu.search.chunked import register_device_batch_compact
+        from goicp_tpu.search.chunked import register_device_stream
 
         def run():
-            # chunked execution retires converged pairs between chunks and
-            # compacts the batch (64 -> ... -> 1), so the hard tail pairs
-            # do not drag 63 dead lanes through thousands of outer steps
-            return register_device_batch_compact(pairs, cfg,
-                                                 chunk_steps=CHUNK_STEPS)
+            # continuous batching: a fixed-width window advances in chunks,
+            # converged pairs retire and fresh pairs refill immediately.
+            # vmapped batching couples the while_loop across pairs (a chunk
+            # costs max(inner iterations) over the window), so a small
+            # window + refill beats one wide batch on uncorrelated pairs
+            # (measured: 64-wide one-shot batch 174 s vs streamed window)
+            return register_device_stream(pairs, cfg, width=STREAM_WIDTH,
+                                          chunk_steps=CHUNK_STEPS)
 
         pairs = build_batch(cfg, BATCH)
         out = run()                                # warm (compile) + check

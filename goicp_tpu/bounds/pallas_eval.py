@@ -35,6 +35,14 @@ Per-node segment reductions (sum of dis^2 over each node's Nd points) are
 also matmuls against a 0/1 segment matrix, so the only VPU work is
 elementwise arithmetic.  One kernel invocation evaluates a whole
 (lanes x nodes x points) bound batch with NO HBM intermediates.
+
+Precision contract: every dot in these kernels pins Precision.HIGHEST.
+The min-matmul operands are integer-valued (exactness needs true f32
+products), and the segment matmuls broadcast/reduce ARBITRARY floats
+against one-hot columns — in particular the bisection select's threshold
+expansion must reproduce t* bitwise or the count invariant (and with it
+bound validity) breaks.  Reduced-precision MXU passes (bf16 variants) are
+not safe here; do not relax these pins for speed.
 """
 
 from __future__ import annotations
@@ -117,7 +125,8 @@ def _min_key(clamped, cells, c_norm, c_iota, c_pad_f):
     vn = jnp.sum(clamped * clamped, axis=0, keepdims=True)   # (1,T)
     m = jax.lax.dot_general(
         cells, clamped, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)                  # (Cp,T)
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)                  # (Cp,T)
     d2 = c_norm - 2.0 * m + vn
     key = d2 * c_pad_f + c_iota
     return key, jnp.min(key, axis=0, keepdims=True)
@@ -135,7 +144,8 @@ def _min_d2(clamped, cells, c_norm):
     def one(cs, cn):
         m = jax.lax.dot_general(
             cs, clamped, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)              # (cc,T)
+            preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)              # (cc,T)
         return jnp.min(cn - 2.0 * m, axis=0, keepdims=True)
 
     if c_pad <= _GEOM_C_CHUNK:
@@ -184,12 +194,14 @@ def _kth_select(vals, e, e_t, k_f):
     def seg_sum(v):
         return jax.lax.dot_general(
             v, e_t, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
 
     def expand(v):                                            # (1,bc)->(1,T)
         return jax.lax.dot_general(
             v, e, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
 
     def bisect_body(_, lohi):
         lo, hi = lohi
@@ -229,7 +241,8 @@ def _geom_kernel(consts_ref, pts_ref, cen_ref, wid_ref, ru_ref, w_ref,
 
     cen_seg = jax.lax.dot_general(                           # (3, T)
         cen_ref[0, 0], e, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
     pos = p_t + cen_seg
     raw, clamped = _voxelize(pos, consts_ref, size_f)
     # min d2 over occupied cells, chunked (no argmin key: geometry only
@@ -247,7 +260,8 @@ def _geom_kernel(consts_ref, pts_ref, cen_ref, wid_ref, ru_ref, w_ref,
     def seg_sum(v):
         return jax.lax.dot_general(
             v, e_t, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)              # (1, bc)
+            preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)              # (1, bc)
 
     def f(v):
         return v * v if norm == 2 else v
@@ -255,7 +269,8 @@ def _geom_kernel(consts_ref, pts_ref, cen_ref, wid_ref, ru_ref, w_ref,
     dis = w_t * dist
     wid_seg = jax.lax.dot_general(                           # (1, T)
         wid_ref[0, 0], e, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
     mask = w_t > 0.0   # real points (padding has zero weight)
 
     def trimmed(v, s3w_seg, s3w_node):
@@ -315,7 +330,8 @@ def _chem_kernel(consts_ref, pts_ref, cor_ref, incomp_ref, cells_ref,
 
     cen_seg = jax.lax.dot_general(
         cor_ref[0, 0], e, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
     pos = p_t + cen_seg
     _, clamped = _voxelize(pos, consts_ref, size_f)          # chem: clamped
     key, kmin = _min_key(clamped, cells, c_norm, c_iota, c_pad_f)
@@ -324,7 +340,8 @@ def _chem_kernel(consts_ref, pts_ref, cor_ref, incomp_ref, cells_ref,
     flag = (kmin2 != kmin).astype(jnp.float32)               # (1, T)
     out_ref[0, 0] = jax.lax.dot_general(
         flag, e_t, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)                  # (1, bc)
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)                  # (1, bc)
 
 
 # ---------------------------------------------------------------------------

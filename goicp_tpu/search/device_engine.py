@@ -55,6 +55,9 @@ class DeviceResult(NamedTuple):
     evals: jnp.ndarray
     gap: jnp.ndarray          # epsilon bound on suboptimality
     converged: jnp.ndarray    # bool
+    inner_iters: jnp.ndarray  # total sequential inner-BnB iterations —
+                              # the latency-bound unit on TPU (each is a
+                              # kernel+sort round inside the while_loop)
 
 
 def _make_inner(cfg: GoICPConfig, mesh):
@@ -184,7 +187,7 @@ def device_init(pair: PairData, cfg: GoICPConfig) -> dict:
         opt_err=opt_err0, opt_R=opt_R0, opt_t=opt_t0,
         comp=comp0, terms=terms0,
         last_icp=better0, min_dropped=jnp.float32(INF),
-        it=jnp.int32(0), evals=jnp.int32(0),
+        it=jnp.int32(0), evals=jnp.int32(0), inner_it=jnp.int32(0),
         converged=jnp.bool_(False), final_lb=jnp.float32(0.0),
     )
 
@@ -308,6 +311,9 @@ def _make_body(pair: PairData, cfg: GoICPConfig, inner):
             evals=s["evals"] + keep(
                 res_ub.evals if cfg.fused_inner
                 else res_ub.evals + res_lb.evals, 0),
+            inner_it=s["inner_it"] + keep(
+                res_ub.iters if cfg.fused_inner
+                else res_ub.iters + res_lb.iters, 0),
             converged=s["converged"] | converged,
             final_lb=final_lb,
         )
@@ -328,7 +334,8 @@ def device_finalize(state: dict) -> DeviceResult:
                         opt_comp=s["comp"], terms=s["terms"],
                         last_icp=s["last_icp"], outer_iters=s["it"],
                         evals=s["evals"], gap=gap,
-                        converged=s["converged"])
+                        converged=s["converged"],
+                        inner_iters=s["inner_it"])
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "mesh"))

@@ -128,7 +128,7 @@ def register_device_sharded(pair: PairData, cfg: GoICPConfig, mesh,
             opt_err=opt_err0, opt_R=opt_R0, opt_t=opt_t0,
             comp=comp0, terms=terms0, last_icp=better0,
             min_dropped=jnp.float32(INF),
-            it=jnp.int32(0), evals=jnp.int32(0),
+            it=jnp.int32(0), evals=jnp.int32(0), inner_it=jnp.int32(0),
             converged=jnp.bool_(False), final_lb=jnp.float32(0.0),
         )
 
@@ -253,6 +253,7 @@ def register_device_sharded(pair: PairData, cfg: GoICPConfig, mesh,
                                  s["min_dropped"]),
                 it=s["it"] + 1,
                 evals=s["evals"] + keep(res.evals, 0),
+                inner_it=s["inner_it"] + keep(res.iters, 0),
                 converged=s["converged"] | converged,
                 final_lb=final_lb,
             )
@@ -270,12 +271,13 @@ def register_device_sharded(pair: PairData, cfg: GoICPConfig, mesh,
             error=s["opt_err"], R=s["opt_R"], t=s["opt_t"],
             opt_comp=s["comp"], terms=s["terms"], last_icp=s["last_icp"],
             outer_iters=s["it"], evals=evals, gap=gap,
-            converged=s["converged"])
+            converged=s["converged"],
+            inner_iters=jax.lax.pmax(s["inner_it"], AXIS))
 
     shard_map, rep_kw = _shard_map()
     from jax.sharding import PartitionSpec as P
     fn = shard_map(shard_fn, mesh=mesh,
                    in_specs=(P(),),
-                   out_specs=DeviceResult(*([P()] * 10)),
+                   out_specs=DeviceResult(*([P()] * 11)),
                    **rep_kw)
     return fn(pair)

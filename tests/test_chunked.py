@@ -82,3 +82,20 @@ def test_checkpoint_resume(tmp_path):
     np.testing.assert_array_equal(full.evals, resumed.evals)
     np.testing.assert_allclose(full.error, resumed.error,
                                rtol=1e-6, atol=1e-6)
+
+
+def test_stream_matches_compact():
+    """Continuous-batching stream (fixed width, retire-and-refill) runs the
+    identical deterministic searches: per-pair counters match the
+    compacting runner exactly."""
+    from goicp_tpu.search.chunked import register_device_stream
+    cfg = _cfg()
+    pairs = _batch(cfg, [(1, 40, 44, 0.0), (2, 48, 52, 0.0),
+                         (3, 36, 40, 0.03), (4, 44, 48, 0.0),
+                         (5, 40, 48, 0.02), (6, 44, 44, 0.0)])
+    ref = register_device_batch_compact(pairs, cfg, chunk_steps=8)
+    out = register_device_stream(pairs, cfg, width=2, chunk_steps=8)
+    np.testing.assert_array_equal(ref.outer_iters, out.outer_iters)
+    np.testing.assert_array_equal(ref.evals, out.evals)
+    np.testing.assert_allclose(ref.error, out.error, rtol=1e-6, atol=1e-6)
+    assert bool(np.all(out.converged))
