@@ -106,15 +106,14 @@ def main(out_path: str):
 
     cfg = GoICPConfig.from_file(f"{REF}/config.txt")
     import dataclasses
-    # tuned search shape, strict parity (golden error band AND compat
-    # count +-2: error 8.62, comp 132 on pair 1).  WIDE pops: the engine is
-    # latency-bound (~1 ms per sequential inner iteration regardless of
-    # width), so popping 6 rotation cubes and 32 translation nodes per
-    # iteration collapses the sequential depth ~20x (pair-1 registration:
-    # 16 total inner iterations) at negligible extra FLOP cost
-    cfg = dataclasses.replace(cfg, rot_batch=6, trans_capacity=128,
-                              trans_pop=32, icp_seeds=1,
-                              max_outer_steps=4000)
+    # tuned search shape (strict parity: golden error band AND compat
+    # count on pair 1).  Measured on-chip: narrow pops win — a WIDE shape
+    # (rot_batch=6, trans_pop=32) cuts sequential depth ~20x but its
+    # per-iteration kernel/sort volume costs 2x more wall (351 s vs 171 s
+    # on the 64-pair stream); the engine is latency-bound at narrow shapes
+    # and volume-bound at wide ones, and narrow is the better trade here
+    cfg = dataclasses.replace(cfg, rot_batch=1, trans_capacity=64,
+                              icp_seeds=4, max_outer_steps=4000)
 
     if platform == "cpu":
         # no lane-level parallel hardware: sequential single-pair is the

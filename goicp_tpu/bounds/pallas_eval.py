@@ -36,13 +36,14 @@ also matmuls against a 0/1 segment matrix, so the only VPU work is
 elementwise arithmetic.  One kernel invocation evaluates a whole
 (lanes x nodes x points) bound batch with NO HBM intermediates.
 
-Precision contract: every dot in these kernels pins Precision.HIGHEST.
-The min-matmul operands are integer-valued (exactness needs true f32
-products), and the segment matmuls broadcast/reduce ARBITRARY floats
-against one-hot columns — in particular the bisection select's threshold
-expansion must reproduce t* bitwise or the count invariant (and with it
-bound validity) breaks.  Reduced-precision MXU passes (bf16 variants) are
-not safe here; do not relax these pins for speed.
+Precision contract: node-value -> point-lane BROADCASTS never go through
+the MXU.  A dot against a one-hot segment matrix would round arbitrary
+floats under reduced-precision MXU passes — in particular the bisection
+select's threshold expansion must reproduce t* bitwise or the count
+invariant (and with it trimmed-bound validity) breaks on hardware.  All
+such expansions use exact broadcast/reshape (`_expand_seg`); only genuine
+reductions (integer-valued min-matmul, 0/1-weighted segment sums) ride
+the MXU.
 """
 
 from __future__ import annotations
@@ -125,8 +126,7 @@ def _min_key(clamped, cells, c_norm, c_iota, c_pad_f):
     vn = jnp.sum(clamped * clamped, axis=0, keepdims=True)   # (1,T)
     m = jax.lax.dot_general(
         cells, clamped, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)                  # (Cp,T)
+        preferred_element_type=jnp.float32)                  # (Cp,T)
     d2 = c_norm - 2.0 * m + vn
     key = d2 * c_pad_f + c_iota
     return key, jnp.min(key, axis=0, keepdims=True)
@@ -144,8 +144,7 @@ def _min_d2(clamped, cells, c_norm):
     def one(cs, cn):
         m = jax.lax.dot_general(
             cs, clamped, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)              # (cc,T)
+            preferred_element_type=jnp.float32)              # (cc,T)
         return jnp.min(cn - 2.0 * m, axis=0, keepdims=True)
 
     if c_pad <= _GEOM_C_CHUNK:
@@ -162,6 +161,14 @@ def _min_d2(clamped, cells, c_norm):
     best = jax.lax.fori_loop(
         0, n_ch, body, jnp.full((1, clamped.shape[1]), jnp.inf, jnp.float32))
     return best + vn
+
+
+def _expand_seg(v, nd: int):
+    """(r, bc) per-node values -> (r, bc*nd) point-major segments, EXACT
+    (broadcast + reshape only; a one-hot matmul would round arbitrary f32
+    values under reduced-precision MXU passes)."""
+    r, bc = v.shape
+    return jnp.broadcast_to(v[:, :, None], (r, bc, nd)).reshape(r, bc * nd)
 
 
 def _segment_mats(t: int, bc: int, nd: int):
@@ -190,18 +197,15 @@ def _kth_select(vals, e, e_t, k_f):
     per-element transform g.
     """
     bc = e.shape[0]
+    nd = e.shape[1] // bc
 
     def seg_sum(v):
         return jax.lax.dot_general(
             v, e_t, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)
+            preferred_element_type=jnp.float32)
 
     def expand(v):                                            # (1,bc)->(1,T)
-        return jax.lax.dot_general(
-            v, e, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)
+        return _expand_seg(v, nd)
 
     def bisect_body(_, lohi):
         lo, hi = lohi
@@ -239,10 +243,7 @@ def _geom_kernel(consts_ref, pts_ref, cen_ref, wid_ref, ru_ref, w_ref,
     c_norm = jnp.sum(cells * cells, axis=1, keepdims=True)   # (Cp, 1)
     e, e_t = _segment_mats(t, bc, nd)
 
-    cen_seg = jax.lax.dot_general(                           # (3, T)
-        cen_ref[0, 0], e, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)
+    cen_seg = _expand_seg(cen_ref[0, 0], nd)                 # (3, T)
     pos = p_t + cen_seg
     raw, clamped = _voxelize(pos, consts_ref, size_f)
     # min d2 over occupied cells, chunked (no argmin key: geometry only
@@ -260,17 +261,13 @@ def _geom_kernel(consts_ref, pts_ref, cen_ref, wid_ref, ru_ref, w_ref,
     def seg_sum(v):
         return jax.lax.dot_general(
             v, e_t, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)              # (1, bc)
+            preferred_element_type=jnp.float32)              # (1, bc)
 
     def f(v):
         return v * v if norm == 2 else v
 
     dis = w_t * dist
-    wid_seg = jax.lax.dot_general(                           # (1, T)
-        wid_ref[0, 0], e, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)
+    wid_seg = _expand_seg(wid_ref[0, 0], nd)                 # (1, T)
     mask = w_t > 0.0   # real points (padding has zero weight)
 
     def trimmed(v, s3w_seg, s3w_node):
@@ -328,10 +325,7 @@ def _chem_kernel(consts_ref, pts_ref, cor_ref, incomp_ref, cells_ref,
     c_iota = jax.lax.broadcasted_iota(jnp.int32, (c_pad, 1), 0).astype(jnp.float32)
     e, e_t = _segment_mats(t, bc, nd)
 
-    cen_seg = jax.lax.dot_general(
-        cor_ref[0, 0], e, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)
+    cen_seg = _expand_seg(cor_ref[0, 0], nd)
     pos = p_t + cen_seg
     _, clamped = _voxelize(pos, consts_ref, size_f)          # chem: clamped
     key, kmin = _min_key(clamped, cells, c_norm, c_iota, c_pad_f)
@@ -340,8 +334,7 @@ def _chem_kernel(consts_ref, pts_ref, cor_ref, incomp_ref, cells_ref,
     flag = (kmin2 != kmin).astype(jnp.float32)               # (1, T)
     out_ref[0, 0] = jax.lax.dot_general(
         flag, e_t, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)                  # (1, bc)
+        preferred_element_type=jnp.float32)                  # (1, bc)
 
 
 # ---------------------------------------------------------------------------
