@@ -54,11 +54,32 @@ def _emit_and_exit(*_args):
                           "vs_baseline": 0.0}), flush=True)
     else:
         v = _best["pairs_per_s"]
+        # Primary comparator: the reference C++ binary (-O3, single core,
+        # THIS machine) measured on the IDENTICAL distinct-pair workload
+        # (REF_BASELINE_WORKLOAD.json, produced by
+        # tools/ref_workload_baseline.py; capped pairs under-state the
+        # reference's wall, so the ratio is conservative).  Falls back to
+        # the checked-in pair-1 artifact rate when the file is absent or
+        # the measurement is the single-pair CPU fallback.
+        base = BASELINE_PAIRS_PER_S
+        base_kind = "pair1_artifact_0.703s"
+        if _best.get("distinct_pairs", 1) > 1:
+            try:
+                with open(os.path.join(HERE,
+                                       "REF_BASELINE_WORKLOAD.json")) as fh:
+                    ref = json.load(fh)
+                if not ref.get("partial") and ref.get("total_wall_s"):
+                    base = ref["n_pairs"] / ref["total_wall_s"]
+                    base_kind = "ref_O3_same_workload_same_machine"
+            except Exception:
+                pass
         print(json.dumps({
             "metric": "bo1_registration_throughput_1chip",
             "value": round(v, 4),
             "unit": "pairs/s",
-            "vs_baseline": round(v / BASELINE_PAIRS_PER_S, 3),
+            "vs_baseline": round(v / base, 3),
+            "baseline": base_kind,
+            "vs_pair1_artifact": round(v / BASELINE_PAIRS_PER_S, 3),
             # second BASELINE.json metric: translation-node bound
             # evaluations per second on one chip (distinct-pair batch)
             "bound_evals_per_s": round(_best.get("bound_evals_per_s", 0.0)),

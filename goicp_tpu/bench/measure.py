@@ -45,10 +45,14 @@ def _load_real_pair(src_name: str, tgt_name: str, cfg):
 
 
 def _synthetic_pair(rng):
-    """A similar-style synthetic pair in the BO1 size envelope: the data
+    """A similar-style synthetic RAW pair in the BO1 size envelope: the data
     cloud is a rigidly transformed subset of the model cloud, properties
-    carried along (what a real cavity pair looks like after the common-scale
-    normalization into the unit ball)."""
+    carried along.  RAW = pre-normalization coordinates (rounded to 6
+    decimals so a %.6f .mol2 round-trip is exact): both our pipeline and
+    the reference binary consume these through their own (identical)
+    centralize + common-scale + 6-sig-digit quantize paths, so the
+    workload-baseline comparison (tools/ref_workload_baseline.py) solves
+    the very same normalized problem."""
     from goicp_tpu.geom.rotation import rodrigues_np
 
     nm = int(rng.integers(165, 307))
@@ -59,7 +63,32 @@ def _synthetic_pair(rng):
     sel = rng.permutation(nm)[:nd]
     data = (model[sel] - tv) @ R
     mp = rng.integers(0, 9, nm).astype(np.int32)
-    return data.astype(np.float32), model.astype(np.float32), mp[sel], mp
+    return (np.round(data, 6), np.round(model, 6),
+            mp[sel].copy(), mp)
+
+
+def synthetic_pool(n: int, seed: int = 7):
+    """The bench's synthetic raw pairs, reproducibly:
+    [(name, data_raw f64 (Nd,3), model_raw f64 (Nm,3),
+      data_prop_idx i32, model_prop_idx i32)].
+    tools/ref_workload_baseline.py writes THESE clouds to .mol2 and runs
+    the reference C++ binary on them — the same-workload comparator."""
+    rng = np.random.default_rng(seed)
+    return [(f"syn{i:02d}",) + _synthetic_pair(rng) for i in range(n)]
+
+
+def _normalized_synthetic(entry):
+    """Raw synthetic pair -> the normalized quantized clouds the engine
+    registers (identical to what the reference binary computes from the
+    same .mol2: centralize each, common scale, 6-sig-digit file round-trip
+    — jly_main.cpp:83-99)."""
+    from goicp_tpu.geom.normalize import normalize_pair
+    from goicp_tpu.io.xyz import quantize_like_file
+
+    _, data, model, dp, mp = entry
+    norm = normalize_pair(data, model)
+    return (quantize_like_file(norm["source"]),
+            quantize_like_file(norm["target"]), dp, mp)
 
 
 def build_batch(cfg, n_total: int = BATCH):
@@ -70,9 +99,8 @@ def build_batch(cfg, n_total: int = BATCH):
 
     raw = [_load_real_pair("2x86_3", "1eq2_6", cfg),    # BO1 pair 1
            _load_real_pair("2ktd_1", "4imo_2", cfg)]    # BO1 pair 2
-    rng = np.random.default_rng(7)
-    while len(raw) < n_total:
-        raw.append(_synthetic_pair(rng))
+    raw += [_normalized_synthetic(e)
+            for e in synthetic_pool(n_total - len(raw))]
 
     dims: dict = {}
     for data, model, _, _ in raw:
