@@ -53,6 +53,11 @@ class GoICPConfig:
                                  # improving lane, jly_goicp.cpp:771-854;
                                  # K>1 recovers that quality at small
                                  # rot_batch for a fraction of the lanes)
+    icp_on_improve: int = 1      # 1 = device/sharded engines run ICP only
+                                 # on improving outer steps (the reference's
+                                 # own gating, jly_goicp.cpp:771-854); 0 =
+                                 # round-2 behavior (every step — costs
+                                 # sequential NN+SVD latency per step)
     fused_inner: int = 1         # 1 = one fused inner search per outer step
                                  # (ub+lb from a single DT lookup; halves the
                                  # bound work at identical epsilon guarantees)

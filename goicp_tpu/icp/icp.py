@@ -69,7 +69,8 @@ def icp_run(data: jnp.ndarray, model: jnp.ndarray, R0: jnp.ndarray,
             t0: jnp.ndarray, *, inlier_num: int, max_iter: int,
             err_diff: float, data_mask: jnp.ndarray | None = None,
             count: jnp.ndarray | None = None,
-            dynamic_trim: bool = False) -> ICPResult:
+            dynamic_trim: bool = False,
+            enabled: jnp.ndarray | None = None) -> ICPResult:
     """Run ICP from (R0, t0). inlier_num == Nd means no trimming.
 
     data_mask (shape-bucket padding): padded rows are forced to huge NN
@@ -82,7 +83,14 @@ def icp_run(data: jnp.ndarray, model: jnp.ndarray, R0: jnp.ndarray,
     set is the count smallest NN distances, selected by an exact rank mask
     over argsort order).  Every divisor/threshold uses `count`, so one
     compiled program serves pairs of any real size within the padded
-    shape."""
+    shape.
+
+    enabled (traced bool): when False, the while_loop starts converged and
+    executes ZERO iterations, returning (R0, t0, err=-1).  Under a vmapped
+    batch this makes the loop cost max(iters over enabled rows) — the
+    lever that lets the device engine run ICP only on improvement (the
+    reference's gating, jly_goicp.cpp:771-854) without paying sequential
+    NN+SVD latency for non-improving rows."""
     n = data.shape[0]
     trim = count is None and inlier_num < n
 
@@ -123,8 +131,10 @@ def icp_run(data: jnp.ndarray, model: jnp.ndarray, R0: jnp.ndarray,
         _, _, _, _, _, it, converged = state
         return (~converged) & (it < max_iter)
 
+    conv0 = jnp.bool_(False) if enabled is None \
+        else ~jnp.asarray(enabled, bool)
     init = (R0.astype(jnp.float32), t0.astype(jnp.float32),
             jnp.float32(-1.0), jnp.zeros((n,), jnp.int32),
-            jnp.zeros((n,), jnp.float32), jnp.int32(0), jnp.bool_(False))
+            jnp.zeros((n,), jnp.float32), jnp.int32(0), conv0)
     R, t, err, nn_idx, _, it, _ = jax.lax.while_loop(cond, body, init)
     return ICPResult(R=R, t=t, nn_idx=nn_idx, err=err, iters=it)

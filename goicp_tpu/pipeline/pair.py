@@ -189,7 +189,7 @@ def adapt_device_result(res, n_data: int, time_s: float
         geom_error=float(terms[0]), incomp_error=float(terms[1]),
         fpfh_error=float(terms[2]), last_icp=bool(res.last_icp),
         time_s=time_s, outer_steps=int(res.outer_iters),
-        bound_evals=int(res.evals), icp_runs=int(res.outer_iters) + 1,
+        bound_evals=int(res.evals), icp_runs=int(res.icp_runs),
         gap=float(res.gap), converged=bool(res.converged))
 
 

@@ -58,6 +58,9 @@ class DeviceResult(NamedTuple):
     inner_iters: jnp.ndarray  # total sequential inner-BnB iterations —
                               # the latency-bound unit on TPU (each is a
                               # kernel+sort round inside the while_loop)
+    icp_runs: jnp.ndarray     # actual ICP invocation events (the initial
+                              # identity ICP + one per outer step that ran
+                              # ICP); truthful counter for JSONL reporting
 
 
 def _make_inner(cfg: GoICPConfig, mesh):
@@ -137,12 +140,15 @@ def _initial_incumbent(pair: PairData, cfg: GoICPConfig):
 
 def _icp_best_of_seeds(pair: PairData, cfg: GoICPConfig,
                        R_lanes: jnp.ndarray, best_nodes: jnp.ndarray,
-                       ubs: jnp.ndarray):
+                       ubs: jnp.ndarray, enabled=None):
     """ICP-refine the K lowest-ub lanes, return the best-scoring seed:
     (icp_R, icp_t, score, icp_incomp).  The host engine ICPs every improving
     lane (the reference ICPs on every improvement, jly_goicp.cpp:771-854);
     K seeds recover that quality when rot_batch keeps the lane count small.
     R_lanes (L,3,3); best_nodes (L,4) per-lane winning trans node; ubs (L,).
+    enabled: traced bool — when False the inner while_loops execute zero
+    iterations (see icp_run), so a vmapped batch only pays ICP latency on
+    rows that actually improved.
     """
     L = R_lanes.shape[0]
     K = min(cfg.icp_seeds, L)
@@ -158,7 +164,8 @@ def _icp_best_of_seeds(pair: PairData, cfg: GoICPConfig,
                     data_mask=pair.data_mask if pair.padded else None,
                     count=pair.inlier_f() if pair.dynamic_counts
                     else None,
-                    dynamic_trim=pair.dynamic_counts and cfg.doTrim)
+                    dynamic_trim=pair.dynamic_counts and cfg.doTrim,
+                    enabled=enabled)
         s_ = score_transform(pair, cfg, r.R, r.t, r.nn_idx)
         *_, inc = icp_chem_terms(pair, cfg, r.nn_idx)
         return r.R, r.t, s_, inc
@@ -188,6 +195,7 @@ def device_init(pair: PairData, cfg: GoICPConfig) -> dict:
         comp=comp0, terms=terms0,
         last_icp=better0, min_dropped=jnp.float32(INF),
         it=jnp.int32(0), evals=jnp.int32(0), inner_it=jnp.int32(0),
+        icp_runs=jnp.int32(1),
         converged=jnp.bool_(False), final_lb=jnp.float32(0.0),
     )
 
@@ -257,9 +265,18 @@ def _make_body(pair: PairData, cfg: GoICPConfig, inner):
         cand_terms = res_ub.ub_terms[best_lane]
         bnb_improved = cand_ub < s["opt_err"]
 
+        # ICP gating (reference semantics: refine only on improvement,
+        # jly_goicp.cpp:771-854).  The enabled flag makes the ICP
+        # while_loops run ZERO iterations on non-improving steps — under a
+        # vmapped batch the sequential NN+SVD latency is only paid when
+        # some row improved; ungated (icp_on_improve=0) reproduces the
+        # round-2 every-step behavior.
+        do_icp = bnb_improved if cfg.icp_on_improve else None
         icp_R, icp_t, sc, icp_incomp = _icp_best_of_seeds(
-            pair, cfg, R_lanes, res_ub.best_node, ubs)
+            pair, cfg, R_lanes, res_ub.best_node, ubs, enabled=do_icp)
         icp_improved = sc.error < incumbent
+        if cfg.icp_on_improve:
+            icp_improved = icp_improved & bnb_improved
 
         # adopt: ICP result when it beats the candidate; else the candidate
         opt_err = jnp.where(icp_improved, sc.error,
@@ -314,6 +331,9 @@ def _make_body(pair: PairData, cfg: GoICPConfig, inner):
             inner_it=s["inner_it"] + keep(
                 res_ub.iters if cfg.fused_inner
                 else res_ub.iters + res_lb.iters, 0),
+            icp_runs=s["icp_runs"] + keep(
+                bnb_improved.astype(jnp.int32)
+                if cfg.icp_on_improve else jnp.int32(1), 0),
             converged=s["converged"] | converged,
             final_lb=final_lb,
         )
@@ -335,7 +355,8 @@ def device_finalize(state: dict) -> DeviceResult:
                         last_icp=s["last_icp"], outer_iters=s["it"],
                         evals=s["evals"], gap=gap,
                         converged=s["converged"],
-                        inner_iters=s["inner_it"])
+                        inner_iters=s["inner_it"],
+                        icp_runs=s["icp_runs"])
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "mesh"))

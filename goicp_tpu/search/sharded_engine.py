@@ -129,6 +129,7 @@ def register_device_sharded(pair: PairData, cfg: GoICPConfig, mesh,
             comp=comp0, terms=terms0, last_icp=better0,
             min_dropped=jnp.float32(INF),
             it=jnp.int32(0), evals=jnp.int32(0), inner_it=jnp.int32(0),
+            icp_runs=jnp.int32(1),
             converged=jnp.bool_(False), final_lb=jnp.float32(0.0),
         )
 
@@ -175,10 +176,15 @@ def register_device_sharded(pair: PairData, cfg: GoICPConfig, mesh,
             cand_t = tn[:3] + tn[3] / 2.0
             cand_terms = res.ub_terms[best_lane]
 
-            # ---- local ICP seeds, local proposal ----
+            # ---- local ICP seeds, local proposal (gated on improvement
+            # like the device engine; see device_engine._make_body) ----
+            do_icp = (cand_ub < s["opt_err"]) if cfg.icp_on_improve \
+                else None
             icp_R, icp_t, sc, icp_incomp = _icp_best_of_seeds(
-                pair, cfg, R_lanes, res.best_node, ubs)
+                pair, cfg, R_lanes, res.best_node, ubs, enabled=do_icp)
             icp_better = sc.error < cand_ub
+            if cfg.icp_on_improve:
+                icp_better = icp_better & do_icp
             from goicp_tpu.bounds.error import bnb_incompatibility_count
             bnb_comp = bnb_incompatibility_count(pair, cfg, cand_R, cand_t)
             prop_err = jnp.where(icp_better, sc.error, cand_ub)
@@ -254,6 +260,9 @@ def register_device_sharded(pair: PairData, cfg: GoICPConfig, mesh,
                 it=s["it"] + 1,
                 evals=s["evals"] + keep(res.evals, 0),
                 inner_it=s["inner_it"] + keep(res.iters, 0),
+                icp_runs=s["icp_runs"] + keep(
+                    do_icp.astype(jnp.int32)
+                    if cfg.icp_on_improve else jnp.int32(1), 0),
                 converged=s["converged"] | converged,
                 final_lb=final_lb,
             )
@@ -272,12 +281,13 @@ def register_device_sharded(pair: PairData, cfg: GoICPConfig, mesh,
             opt_comp=s["comp"], terms=s["terms"], last_icp=s["last_icp"],
             outer_iters=s["it"], evals=evals, gap=gap,
             converged=s["converged"],
-            inner_iters=jax.lax.pmax(s["inner_it"], AXIS))
+            inner_iters=jax.lax.pmax(s["inner_it"], AXIS),
+            icp_runs=jax.lax.psum(s["icp_runs"], AXIS))
 
     shard_map, rep_kw = _shard_map()
     from jax.sharding import PartitionSpec as P
     fn = shard_map(shard_fn, mesh=mesh,
                    in_specs=(P(),),
-                   out_specs=DeviceResult(*([P()] * 11)),
+                   out_specs=DeviceResult(*([P()] * 12)),
                    **rep_kw)
     return fn(pair)
