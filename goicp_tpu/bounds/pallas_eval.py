@@ -64,23 +64,23 @@ def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _chunk_size(b: int, c_pad: int, ndp: int, buffers: int) -> int:
-    """Largest per-program node/corner chunk that keeps VMEM comfortable, to
-    amortize grid program overhead; must divide b.
+def _chunk_limit(c_pad: int, ndp: int, buffers: int) -> int:
+    """Largest per-program node/corner chunk that keeps VMEM comfortable,
+    to amortize grid program overhead (callers PAD the node axis up to a
+    multiple — no divisor restriction).
 
-    Budget ~9 MB split across the `buffers` live (c_pad, bc*ndp) work
+    Budget ~12 MB split across the `buffers` live (c_pad, bc*ndp) work
     matrices, AND the (bc, bc*ndp) segment-selection matrices (which grow
     quadratically in bc and would otherwise blow up when c_pad is tiny)."""
-    budget = 9_000_000
+    budget = 12_000_000
     bc = 1
-    for cand in range(1, b + 1):
-        if b % cand != 0:
-            continue
+    while True:
+        cand = bc + 1
         work = buffers * 4 * c_pad * cand * ndp
         seg = 2 * 4 * cand * cand * ndp
-        if work + seg <= budget:
-            bc = cand
-    return bc
+        if work + seg > budget or cand > 512:
+            return bc
+        bc = cand
 
 
 def supports(size: int, c_pad: int, n_norm: int) -> bool:
@@ -120,43 +120,63 @@ def _voxelize(pos, consts_ref, size_f):
     return raw, clamped
 
 
-def _min_key(clamped, cells, c_norm, c_iota, c_pad_f):
-    """clamped (3,T), cells (Cp,3) -> kmin (1,T): min over cells of
-    (|v-c|^2 * Cpad + c).  All integer-exact in f32."""
+def _aug_dot(aug, clamped, mult: float):
+    """aug (Cc, 6) = [c_x c_y c_z d16 d8 d1] x clamped (3, T) ->
+    (Cc, T) = mult * (c . v) + (65536 d16 + 256 d8 + d1), EXACT in f32 at
+    DEFAULT (1-pass bf16) MXU precision: every operand has <= 8 mantissa
+    bits — cell coords and voxel coords are small integers, mult is a
+    power of two (so mult*v keeps v's mantissa), the digit columns are
+    base-256 digits in [0, 255], and their multiplier rows are powers of
+    two — so every product is exact in f32 and the f32 accumulation of
+    integer values < 2^24 is exact.  (A precision=HIGHEST dot would also
+    be exact but lowers to a ~4x slower multi-pass; measured on-chip.)"""
+    t = clamped.shape[1]
+    rows = jnp.concatenate([
+        jnp.float32(mult) * clamped,
+        jnp.full((1, t), 65536.0, jnp.float32),
+        jnp.full((1, t), 256.0, jnp.float32),
+        jnp.ones((1, t), jnp.float32)], axis=0)              # (6, T)
+    return jax.lax.dot_general(
+        aug, rows, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _digits256(val: jnp.ndarray) -> jnp.ndarray:
+    """Integer-valued f32 (Cp,) in [0, 2^24) -> (Cp, 3) base-256 digits
+    [d16 d8 d1] with val = 65536 d16 + 256 d8 + d1; each digit <= 255 is
+    bf16-exact, making the digit columns safe MXU operands (see
+    _aug_dot)."""
+    d16 = jnp.floor(val / 65536.0)
+    r = val - d16 * 65536.0
+    d8 = jnp.floor(r / 256.0)
+    d1 = r - d8 * 256.0
+    return jnp.stack([d16, d8, d1], axis=1)
+
+
+def _min_d2(clamped, aug_g):
+    """clamped (3,T), aug_g (Cp,6) = [c | digits(c_norm)] -> (1,T) min over
+    cells of |v-c|^2, integer-exact in f32 (no argmin identity needed —
+    the geometric kernel only uses the distance).  The cell-norm term
+    rides inside the matmul (one VPU min pass, no elementwise d2
+    assembly); |v|^2 is constant per column and added after the min.
+    Cells are consumed in chunks of _GEOM_C_CHUNK so the (chunk, T) work
+    tile stays VMEM-resident even for mid-size models (c_pad up to
+    _GEOM_C_MAX)."""
+    c_pad = aug_g.shape[0]
     vn = jnp.sum(clamped * clamped, axis=0, keepdims=True)   # (1,T)
-    m = jax.lax.dot_general(
-        cells, clamped, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)                  # (Cp,T)
-    d2 = c_norm - 2.0 * m + vn
-    key = d2 * c_pad_f + c_iota
-    return key, jnp.min(key, axis=0, keepdims=True)
 
-
-def _min_d2(clamped, cells, c_norm):
-    """clamped (3,T), cells (Cp,3) -> (1,T) min over cells of |v-c|^2,
-    integer-exact in f32 (no argmin identity needed — the geometric kernel
-    only uses the distance).  Cells are consumed in chunks of
-    _GEOM_C_CHUNK so the (chunk, T) work tile stays VMEM-resident even for
-    mid-size models (c_pad up to _GEOM_C_MAX)."""
-    c_pad = cells.shape[0]
-    vn = jnp.sum(clamped * clamped, axis=0, keepdims=True)   # (1,T)
-
-    def one(cs, cn):
-        m = jax.lax.dot_general(
-            cs, clamped, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)              # (cc,T)
-        return jnp.min(cn - 2.0 * m, axis=0, keepdims=True)
+    def one(a):
+        return jnp.min(_aug_dot(a, clamped, -2.0), axis=0, keepdims=True)
 
     if c_pad <= _GEOM_C_CHUNK:
-        return one(cells, c_norm) + vn
+        return one(aug_g) + vn
 
     cc = _GEOM_C_CHUNK
     n_ch = -(-c_pad // cc)
 
     def body(i, best):
-        cs = jax.lax.dynamic_slice(cells, (i * cc, 0), (cc, 3))
-        cn = jax.lax.dynamic_slice(c_norm, (i * cc, 0), (cc, 1))
-        return jnp.minimum(best, one(cs, cn))
+        a = jax.lax.dynamic_slice(aug_g, (i * cc, 0), (cc, 6))
+        return jnp.minimum(best, one(a))
 
     best = jax.lax.fori_loop(
         0, n_ch, body, jnp.full((1, clamped.shape[1]), jnp.inf, jnp.float32))
@@ -200,6 +220,9 @@ def _kth_select(vals, e, e_t, k_f):
     nd = e.shape[1] // bc
 
     def seg_sum(v):
+        # summands are 0/1 indicators: every product is exact even under
+        # the default 1-pass-bf16 MXU, and f32 accumulation of integer
+        # counts < 2^24 is exact
         return jax.lax.dot_general(
             v, e_t, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -239,8 +262,7 @@ def _geom_kernel(consts_ref, pts_ref, cen_ref, wid_ref, ru_ref, w_ref,
     p3 = pts_ref[0]                                          # (3, Nd)
     p_t = jnp.concatenate([p3] * bc, axis=1)                 # (3, T)
     w_t = jnp.concatenate([w_ref[:]] * bc, axis=1)           # (1, T)
-    cells = cells_ref[:]                                     # (Cp, 3)
-    c_norm = jnp.sum(cells * cells, axis=1, keepdims=True)   # (Cp, 1)
+    aug_g = cells_ref[:]                                     # (Cp, 4)
     e, e_t = _segment_mats(t, bc, nd)
 
     cen_seg = _expand_seg(cen_ref[0, 0], nd)                 # (3, T)
@@ -248,7 +270,7 @@ def _geom_kernel(consts_ref, pts_ref, cen_ref, wid_ref, ru_ref, w_ref,
     raw, clamped = _voxelize(pos, consts_ref, size_f)
     # min d2 over occupied cells, chunked (no argmin key: geometry only
     # needs the distance, so the 2^24 key gate does not apply here)
-    d2 = _min_d2(clamped, cells, c_norm)
+    d2 = _min_d2(clamped, aug_g)
     scale = consts_ref[0, 3]
     dist = jnp.sqrt(d2) / scale                              # (1, T)
     # out-of-bounds extension (DT3D::Distance, jly_3ddt.cpp:1156-1190)
@@ -259,9 +281,12 @@ def _geom_kernel(consts_ref, pts_ref, cen_ref, wid_ref, ru_ref, w_ref,
     dist = jnp.where(oob, dist + extra, dist)
 
     def seg_sum(v):
-        return jax.lax.dot_general(
-            v, e_t, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)              # (1, bc)
+        # EXACT per-node sums: v carries arbitrary f32 values, and a
+        # default-precision MXU dot against the 0/1 segment matrix rounds
+        # them to bf16 (measured ~1e-2 drift vs the XLA sum on-chip),
+        # while a precision=HIGHEST dot costs ~110us extra per call
+        # (multi-pass).  A lane-axis row sum after reshape keeps full f32.
+        return jnp.sum(v.reshape(bc, nd), axis=1)[None, :]   # (1, bc)
 
     def f(v):
         return v * v if norm == 2 else v
@@ -311,30 +336,39 @@ def _geom_kernel(consts_ref, pts_ref, cen_ref, wid_ref, ru_ref, w_ref,
         lb_ref[0, 0] = seg_sum(f(lbd))
 
 
-def _chem_kernel(consts_ref, pts_ref, cor_ref, incomp_ref, cells_ref,
-                 out_ref, *, nd, bc, size, c_pad):
+def _chem_kernel(consts_ref, pts_ref, cor_ref, aug_ref, incbig_ref,
+                 out_ref, *, nd, bc, g, size, c_pad):
     """Per-corner incompatibility counts: out[q] = #points whose property is
-    incompatible with the nearest occupied cell of their clamped voxel."""
-    t = bc * nd
-    size_f = jnp.float32(size)
-    c_pad_f = jnp.float32(c_pad)
-    p3 = pts_ref[0]
-    p_t = jnp.concatenate([p3] * bc, axis=1)                 # (3, T)
-    cells = cells_ref[:]
-    c_norm = jnp.sum(cells * cells, axis=1, keepdims=True)
-    c_iota = jax.lax.broadcasted_iota(jnp.int32, (c_pad, 1), 0).astype(jnp.float32)
-    e, e_t = _segment_mats(t, bc, nd)
+    incompatible with the nearest occupied cell of their clamped voxel.
 
-    cen_seg = _expand_seg(cor_ref[0, 0], nd)
-    pos = p_t + cen_seg
-    _, clamped = _voxelize(pos, consts_ref, size_f)          # chem: clamped
-    key, kmin = _min_key(clamped, cells, c_norm, c_iota, c_pad_f)
-    key2 = key + _BIG * incomp_ref[:]                        # (Cp, T)
-    kmin2 = jnp.min(key2, axis=0, keepdims=True)
-    flag = (kmin2 != kmin).astype(jnp.float32)               # (1, T)
-    out_ref[0, 0] = jax.lax.dot_general(
-        flag, e_t, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)                  # (1, bc)
+    Processes the program's bc corners in unrolled groups of g: per group,
+    ONE exact aug matmul (see _aug_chem) produces the (Cp, g*nd) argmin
+    key base, and two VPU min passes yield the nearest-cell key with and
+    without the +BIG incompatibility offset — their inequality flags the
+    points whose nearest cell is incompatible.  The BIG-scaled incompat
+    table arrives UNTILED (Cp, nd) and is tiled once in VMEM, reused by
+    every group; vs the round-2 kernel this removes the bc-times HBM
+    duplication and ~4 of 7 VPU passes over the (Cp, T) work tile."""
+    size_f = jnp.float32(size)
+    p3 = pts_ref[0]                                           # (3, nd)
+    p_t = jnp.concatenate([p3] * g, axis=1)                   # (3, g*nd)
+    inc_big = jnp.concatenate([incbig_ref[:]] * g, axis=1)    # (Cp, g*nd)
+    aug = aug_ref[:]                                          # (Cp, 4)
+    # one-hot per-group segment reduction (g*nd, g); 0/1 matmul is exact
+    rows = jax.lax.broadcasted_iota(jnp.int32, (g * nd, g), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (g * nd, g), 1)
+    e_t = (rows // nd == cols).astype(jnp.float32)
+    for grp in range(bc // g):
+        cen = cor_ref[0, 0][:, grp * g:(grp + 1) * g]         # (3, g)
+        pos = p_t + _expand_seg(cen, nd)
+        _, clamped = _voxelize(pos, consts_ref, size_f)
+        base = _aug_dot(aug, clamped, -2.0 * c_pad)           # (Cp, g*nd)
+        m1 = jnp.min(base, axis=0, keepdims=True)
+        m2 = jnp.min(base + inc_big, axis=0, keepdims=True)
+        flag = (m2 != m1).astype(jnp.float32)                 # (1, g*nd)
+        out_ref[0, 0, :, grp * g:(grp + 1) * g] = jax.lax.dot_general(
+            flag, e_t, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)               # (1, g)
 
 
 # ---------------------------------------------------------------------------
@@ -352,6 +386,27 @@ def _pad_cells(cell_coords: jnp.ndarray, size: int) -> jnp.ndarray:
         cell_coords.astype(jnp.float32), far)
     pad = jnp.full((c_pad - c, 3), far, jnp.float32)
     return jnp.concatenate([coords, pad], axis=0)
+
+
+def _aug_geom(cells: jnp.ndarray) -> jnp.ndarray:
+    """(Cp,3) f32 cell coords -> (Cp,6) [c | digits(c_norm)] so the
+    in-kernel min-d2 is one DEFAULT-precision matmul (mult=-2, see
+    _aug_dot) + one min pass (see _min_d2)."""
+    c_norm = jnp.sum(cells * cells, axis=1)
+    return jnp.concatenate([cells, _digits256(c_norm)], axis=1)
+
+
+def _aug_chem(cells: jnp.ndarray, c_pad: int) -> jnp.ndarray:
+    """(Cp,3) f32 cell coords -> (Cp,6) [c | digits(Cp*c_norm + iota)]:
+    the in-kernel _aug_dot with mult=-2*Cp yields
+    Cp*(c_norm - 2 c.v) + iota, whose per-column min is the argmin-cell
+    key of pallas chem lookups (the |v|^2*Cp term is constant per column
+    and cancels in the key comparison).  Values stay integer-exact f32
+    under the supports() gate."""
+    c_norm = jnp.sum(cells * cells, axis=1)
+    iota = jnp.arange(c_pad, dtype=jnp.float32)
+    return jnp.concatenate(
+        [cells, _digits256(jnp.float32(c_pad) * c_norm + iota)], axis=1)
 
 
 def _pad_pts(pts_t, weights, rot_unc, nd):
@@ -391,12 +446,19 @@ def geometric_bounds_kernel(pts_rot, centers, widths, rot_unc, weights,
     kernel via an SMEM consts slot so one compilation serves every count.
     """
     l, nd, _ = pts_rot.shape
-    b = centers.shape[1]
+    b0 = centers.shape[1]
     cells = _pad_cells(cell_coords, size)
     c_pad = cells.shape[0]
-    # the chunked min keeps only a (<= _GEOM_C_CHUNK, T) work tile live
-    bc = _chunk_size(b, min(c_pad, _GEOM_C_CHUNK), _ceil_to(nd, _LANE),
-                     buffers=3)
+    # the chunked min keeps only a (<= _GEOM_C_CHUNK, T) work tile live;
+    # with the aug fold only ~2 work matrices are live, and the node axis
+    # is PADDED up to a bc multiple (not restricted to divisors) so small
+    # chunk grids serve any b
+    bc = min(b0, _chunk_limit(min(c_pad, _GEOM_C_CHUNK),
+                              _ceil_to(nd, _LANE), buffers=2))
+    b = _ceil_to(b0, bc)
+    if b != b0:
+        centers = jnp.pad(centers, ((0, 0), (0, b - b0), (0, 0)))
+        widths = jnp.pad(widths, ((0, 0), (0, b - b0)))
     pts_t = pts_rot.transpose(0, 2, 1)
     cen_t = centers.transpose(0, 2, 1)
     with_unc = rot_unc is not None
@@ -439,7 +501,7 @@ def geometric_bounds_kernel(pts_rot, centers, widths, rot_unc, weights,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, ndp), lambda i, k: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((c_pad, 3), lambda i, k: (0, 0),
+            pl.BlockSpec((c_pad, 6), lambda i, k: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[pl.BlockSpec((1, 1, 1, bc), lambda i, k: (i, k, 0, 0),
@@ -447,8 +509,8 @@ def geometric_bounds_kernel(pts_rot, centers, widths, rot_unc, weights,
         out_shape=[jax.ShapeDtypeStruct((l, k_chunks, 1, bc), jnp.float32)
                    ] * n_out,
         interpret=interpret,
-    )(consts8, pts_t, cen_r, wid_r, ru_r, w2, cells)
-    return tuple(o.reshape(l, b) for o in outs)
+    )(consts8, pts_t, cen_r, wid_r, ru_r, w2, _aug_geom(cells))
+    return tuple(o.reshape(l, b)[:, :b0] for o in outs)
 
 
 @functools.partial(jax.jit, static_argnames=("size", "interpret"))
@@ -465,26 +527,36 @@ def chem_incomp_kernel(pts_rot, corners, compat_table, data_mask,
     q = corners.shape[1]
     cells = _pad_cells(cell_coords, size)
     c_pad = cells.shape[0]
-    bc = _chunk_size(q, c_pad, _ceil_to(nd, _LANE), buffers=4)
     c_real = compat_table.shape[1]
+    ndp = _ceil_to(nd, _LANE)
+
+    # group size g: corners evaluated per aug matmul; 27-group programs
+    # (one parent lattice per pop) keep the unroll bounded while the grid
+    # stays tiny (round-2's bc~6 divisor chunks cost ~1.5us/program x 288)
+    g = 8
+    groups_total = -(-q // g)
+    gpp = min(groups_total, 27)
+    k_chunks = -(-groups_total // gpp)
+    bc = gpp * g
+    qp = k_chunks * bc
 
     pts_t = pts_rot.transpose(0, 2, 1)
-    cor_t = corners.transpose(0, 2, 1)
-    ndp = _ceil_to(nd, _LANE)
+    cor_t = corners.transpose(0, 2, 1)                       # (l, 3, q)
+    if qp != q:
+        cor_t = jnp.pad(cor_t, ((0, 0), (0, 0), (0, qp - q)))
     if ndp != nd:
         pts_t = jnp.pad(pts_t, ((0, 0), (0, 0), (0, ndp - nd)))
-    # incompat (Cp, bc*Ndp): rows = cells, cols = node-tiled points; padded
-    # points and padded cells are marked compatible (contribute 0 / never win)
+    # BIG-scaled incompat (Cp, Ndp), UNTILED (the kernel tiles it once in
+    # VMEM); padded points and padded cells are marked compatible
+    # (contribute 0 / never win the key min)
     inc = (~compat_table) & (data_mask[:, None] > 0)         # (Nd, C)
-    inc_t = inc.T.astype(jnp.float32)                        # (C, Nd)
+    inc_t = inc.T.astype(jnp.float32) * jnp.float32(_BIG)    # (C, Nd)
     inc_t = jnp.pad(inc_t, ((0, c_pad - c_real), (0, ndp - nd)))
-    inc_tiled = jnp.concatenate([inc_t] * bc, axis=1)        # (Cp, bc*Ndp)
     consts8 = jnp.concatenate([consts.astype(jnp.float32),
                                jnp.zeros(3, jnp.float32)])[None, :]
 
-    kern = functools.partial(_chem_kernel, nd=ndp, bc=bc, size=size,
+    kern = functools.partial(_chem_kernel, nd=ndp, bc=bc, g=g, size=size,
                              c_pad=c_pad)
-    k_chunks = q // bc
     grid = (l, k_chunks)
     cor_r = cor_t.reshape(l, 3, k_chunks, bc).transpose(0, 2, 1, 3)
     out = pl.pallas_call(
@@ -497,14 +569,14 @@ def chem_incomp_kernel(pts_rot, corners, compat_table, data_mask,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 3, bc), lambda i, k: (i, k, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((c_pad, bc * ndp), lambda i, k: (0, 0),
+            pl.BlockSpec((c_pad, 6), lambda i, k: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((c_pad, 3), lambda i, k: (0, 0),
+            pl.BlockSpec((c_pad, ndp), lambda i, k: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, 1, bc), lambda i, k: (i, k, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((l, k_chunks, 1, bc), jnp.float32),
         interpret=interpret,
-    )(consts8, pts_t, cor_r, inc_tiled, cells)
-    return out.reshape(l, q)
+    )(consts8, pts_t, cor_r, _aug_chem(cells, c_pad), inc_t)
+    return out.reshape(l, qp)[:, :q]

@@ -213,14 +213,17 @@ def _make_body(pair: PairData, cfg: GoICPConfig, inner):
 
     def body(s):
         # ---- pop the Pr lowest-lb rotation nodes ----
-        neg, idx = jax.lax.top_k(-s["fr_lbs"], Pr)
-        pop_lb = -neg
+        # SORTED-FRONTIER INVARIANT (see search/inner.py): fr_lbs is
+        # ascending, so the pop is a slice and the min is slot 0; the one
+        # argsort below re-establishes the order after the merge.
+        pop_lb = s["fr_lbs"][:Pr]
         min_lb = pop_lb[0]
         converged = jnp.isinf(min_lb) | (s["opt_err"] - min_lb <= sse)
         final_lb = jnp.where(converged & ~s["converged"], min_lb,
                              s["final_lb"])
-        parents = s["fr_nodes"][idx]                       # (Pr, 4)
-        fr_lbs = s["fr_lbs"].at[idx].set(INF)
+        parents = s["fr_nodes"][:Pr]                       # (Pr, 4)
+        fr_lbs = s["fr_lbs"][Pr:]
+        fr_nodes_rest = s["fr_nodes"][Pr:]
         # per-node threshold discard (safe, see module docstring)
         expand = jnp.isfinite(pop_lb) \
             & (s["opt_err"] - pop_lb > sse) & ~converged   # (Pr,)
@@ -300,8 +303,8 @@ def _make_body(pair: PairData, cfg: GoICPConfig, inner):
         # ---- prune + merge children into the frontier ----
         lbs_new = jnp.where(active & (res_lb.lb_safe < opt_err),
                             res_lb.lb_safe, INF)
-        all_lbs = jnp.concatenate([fr_lbs, lbs_new])
-        all_nodes = jnp.concatenate([s["fr_nodes"], child_nodes])
+        all_lbs = jnp.concatenate([fr_lbs, lbs_new])       # (Cr - Pr + L)
+        all_nodes = jnp.concatenate([fr_nodes_rest, child_nodes])
         order = jnp.argsort(all_lbs)
         keep_lbs = all_lbs[order[:Cr]]
         keep_nodes = all_nodes[order[:Cr]]

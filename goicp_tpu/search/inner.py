@@ -79,6 +79,7 @@ def inner_bnb(pair: PairData, cfg: GoICPConfig, pts_rot: jnp.ndarray,
     L = pts_rot.shape[0]
     C = cfg.trans_capacity
     P = cfg.trans_pop
+    assert P < C, "trans_pop must be < trans_capacity (sorted-slice pop)"
     sse_thresh = jnp.float32(cfg.MSEThresh) * pair.inlier_f()
 
     mrd = rot_uncertainty(rot_widths, pair.norm_data) \
@@ -171,23 +172,27 @@ def _make_inner_body(pair, cfg, pts_rot, mrd, sse_thresh, child_off,
     P = cfg.trans_pop
 
     def body(s):
+        # SORTED-FRONTIER INVARIANT: lbs[l] is ascending (INF = empty), so
+        # popping the P lowest-lb nodes is a SLICE (no top_k op) and the
+        # per-iteration min is lbs[:, 0].  The invariant is maintained by
+        # the single argsort merge below; the within-iteration incumbent
+        # prune only INFs a suffix (lb >= thr), which preserves order.
         lbs = s["lbs"]
         ref_err = s["thr"] if fused else s["opt_err"]
-        min_lb = jnp.min(lbs, axis=1)                        # (L,)
+        min_lb = lbs[:, 0]                                   # (L,)
         done = s["done"] | jnp.isinf(min_lb) \
             | (ref_err - min_lb < sse_thresh)
 
-        # pop the P lowest-lb nodes per lane
-        neg, idx = jax.lax.top_k(-lbs, P)                    # (L,P)
-        pop_lb = -neg
-        parents = jnp.take_along_axis(s["nodes"], idx[:, :, None], axis=1)
+        pop_lb = lbs[:, :P]                                  # (L,P)
+        parents = s["nodes"][:, :P]
         expand = (~done[:, None]) & jnp.isfinite(pop_lb) \
             & (ref_err[:, None] - pop_lb >= sse_thresh)
-        # clear popped slots (also the threshold-discarded ones: the
-        # reference's termination rule makes their whole subtree unable to
-        # improve the incumbent by more than SSEThresh)
-        lbs = jnp.where(done[:, None], s["lbs"],
-                        s["lbs"].at[jnp.arange(L)[:, None], idx].set(INF))
+        # popped slots leave the frontier unconditionally (the
+        # threshold-discarded ones too: the reference's termination rule
+        # makes their whole subtree unable to improve the incumbent by
+        # more than SSEThresh)
+        rest_lbs = lbs[:, P:]                                # (L, C-P)
+        rest_nodes = s["nodes"][:, P:]
 
         # expand children: (L,P,8,4)
         cw = parents[..., 3:4] / 2.0                         # (L,P,1)
@@ -260,10 +265,11 @@ def _make_inner_body(pair, cfg, pts_rot, mrd, sse_thresh, child_off,
             prune_ref = opt_err
         lb = jnp.where(lb >= prune_ref[:, None], INF, lb)
 
-        # merge + keep the C lowest-lb nodes
-        all_lbs = jnp.concatenate([lbs, lb], axis=1)         # (L, C+8P)
+        # merge + keep the C lowest-lb nodes (the one sort per iteration;
+        # its output is sorted, which re-establishes the invariant)
+        all_lbs = jnp.concatenate([rest_lbs, lb], axis=1)    # (L, C+7P)
         all_nodes = jnp.concatenate(
-            [s["nodes"], children.reshape(L, P * 8, 4)], axis=1)
+            [rest_nodes, children.reshape(L, P * 8, 4)], axis=1)
         order = jnp.argsort(all_lbs, axis=1)
         sorted_lbs = jnp.take_along_axis(all_lbs, order, axis=1)
         keep_lbs = sorted_lbs[:, :C]

@@ -138,16 +138,19 @@ def register_device_sharded(pair: PairData, cfg: GoICPConfig, mesh,
 
         def body(s):
             # ---- pop the Pr lowest-lb LOCAL nodes ----
-            neg, idx = jax.lax.top_k(-s["fr_lbs"], Pr)
-            pop_lb = -neg
-            local_min = jnp.min(s["fr_lbs"])
+            # sorted-frontier invariant (see search/inner.py): pop = slice;
+            # the merge argsort and the strided rebalance re-deal both
+            # yield ascending lbs, so the invariant holds every iteration.
+            pop_lb = s["fr_lbs"][:Pr]
+            local_min = s["fr_lbs"][0]
             global_min = jax.lax.pmin(local_min, AXIS)
             converged = jnp.isinf(global_min) \
                 | (s["opt_err"] - global_min <= sse)
             final_lb = jnp.where(converged & ~s["converged"], global_min,
                                  s["final_lb"])
-            parents = s["fr_nodes"][idx]                  # (Pr, 4)
-            fr_lbs = s["fr_lbs"].at[idx].set(INF)
+            parents = s["fr_nodes"][:Pr]                  # (Pr, 4)
+            fr_lbs = s["fr_lbs"][Pr:]
+            fr_nodes_rest = s["fr_nodes"][Pr:]
             expand = jnp.isfinite(pop_lb) \
                 & (s["opt_err"] - pop_lb > sse) & ~converged   # (Pr,)
 
@@ -224,7 +227,7 @@ def register_device_sharded(pair: PairData, cfg: GoICPConfig, mesh,
             lbs_new = jnp.where(active & (res.lb_safe < opt_err),
                                 res.lb_safe, INF)
             all_lbs = jnp.concatenate([fr_lbs, lbs_new])
-            all_nodes = jnp.concatenate([s["fr_nodes"], child_nodes])
+            all_nodes = jnp.concatenate([fr_nodes_rest, child_nodes])
             order = jnp.argsort(all_lbs)
             keep_lbs = all_lbs[order[:Cr]]
             keep_nodes = all_nodes[order[:Cr]]
