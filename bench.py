@@ -63,7 +63,10 @@ def _emit_and_exit(*_args):
         # the measurement is the single-pair CPU fallback.
         base = BASELINE_PAIRS_PER_S
         base_kind = "pair1_artifact_0.703s"
-        if _best.get("distinct_pairs", 1) > 1:
+        # the same-workload baseline only applies to the real distinct-pair
+        # TPU measurement; the CPU fallback is pair-1-only (ADVICE r2)
+        if _best.get("distinct_pairs", 1) > 1 \
+                and _best.get("platform") != "cpu":
             try:
                 with open(os.path.join(HERE,
                                        "REF_BASELINE_WORKLOAD.json")) as fh:
@@ -73,7 +76,7 @@ def _emit_and_exit(*_args):
                     base_kind = "ref_O3_same_workload_same_machine"
             except Exception:
                 pass
-        print(json.dumps({
+        line = {
             "metric": "bo1_registration_throughput_1chip",
             "value": round(v, 4),
             "unit": "pairs/s",
@@ -85,7 +88,22 @@ def _emit_and_exit(*_args):
             "bound_evals_per_s": round(_best.get("bound_evals_per_s", 0.0)),
             "distinct_pairs": _best.get("distinct_pairs", 1),
             "platform": _best.get("platform", "unknown"),
-        }), flush=True)
+        }
+        # trimmed dissimilar-style workload (BASELINE.json config 4) with
+        # its own same-machine reference comparator when available
+        if _best.get("trimmed_pairs_per_s"):
+            tv = _best["trimmed_pairs_per_s"]
+            line["trimmed_pairs_per_s"] = round(tv, 4)
+            try:
+                with open(os.path.join(HERE,
+                                       "REF_BASELINE_TRIMMED.json")) as fh:
+                    tref = json.load(fh)
+                if not tref.get("partial") and tref.get("total_wall_s"):
+                    tbase = tref["n_pairs"] / tref["total_wall_s"]
+                    line["trimmed_vs_baseline"] = round(tv / tbase, 3)
+            except Exception:
+                pass
+        print(json.dumps(line), flush=True)
     os._exit(0)
 
 

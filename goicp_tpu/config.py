@@ -53,6 +53,16 @@ class GoICPConfig:
                                  # improving lane, jly_goicp.cpp:771-854;
                                  # K>1 recovers that quality at small
                                  # rot_batch for a fraction of the lanes)
+    margin_frac: float = 1.0     # <1 tightens the epsilon used for the
+                                 # stop rule AND per-node threshold
+                                 # discard to margin_frac*MSEThresh*N:
+                                 # converged gaps then carry 1-margin_frac
+                                 # headroom below the reference's epsilon
+                                 # (guards the near-epsilon flakiness a
+                                 # numeric perturbation could flip; the
+                                 # result is still epsilon-optimal under
+                                 # the ORIGINAL epsilon, just searched a
+                                 # little deeper)
     icp_on_improve: int = 1      # 1 = device/sharded engines run ICP only
                                  # on improving outer steps (the reference's
                                  # own gating, jly_goicp.cpp:771-854); 0 =
@@ -75,6 +85,12 @@ class GoICPConfig:
     def err_diff(self) -> float:
         # ICP convergence threshold (jly_goicp.cpp:232)
         return self.MSEThresh / 10000.0
+
+    @property
+    def mse_margin(self) -> float:
+        # the per-point epsilon the ENGINES search to (stop rule + node
+        # threshold discard); reporting/parity keep the plain MSEThresh
+        return self.MSEThresh * self.margin_frac
 
     def validate(self) -> "GoICPConfig":
         assert self.norm in (1, 2), "norm must be 1 (L1) or 2 (L2)"

@@ -206,7 +206,7 @@ def _make_body(pair: PairData, cfg: GoICPConfig, inner):
     one-dispatch engine and the chunked/resumable runner."""
     Pr = cfg.rot_batch
     L = Pr * 8
-    sse = jnp.float32(cfg.MSEThresh) * pair.inlier_f()
+    sse = jnp.float32(cfg.mse_margin) * pair.inlier_f()
     child_off = jnp.asarray(
         [[j & 1, (j >> 1) & 1, (j >> 2) & 1] for j in range(8)], jnp.float32)
     Cr = cfg.device_rot_capacity

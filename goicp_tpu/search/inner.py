@@ -80,7 +80,7 @@ def inner_bnb(pair: PairData, cfg: GoICPConfig, pts_rot: jnp.ndarray,
     C = cfg.trans_capacity
     P = cfg.trans_pop
     assert P < C, "trans_pop must be < trans_capacity (sorted-slice pop)"
-    sse_thresh = jnp.float32(cfg.MSEThresh) * pair.inlier_f()
+    sse_thresh = jnp.float32(cfg.mse_margin) * pair.inlier_f()
 
     mrd = rot_uncertainty(rot_widths, pair.norm_data) \
         if (with_rot_uncertainty or fused) else None

@@ -189,7 +189,7 @@ def register(pair: PairData, cfg: GoICPConfig, verbose: bool = False,
                          "dynamic_counts pairs are for the device engines")
     t0 = time.time()
     log = print if verbose else (lambda *a, **k: None)
-    sse_thresh = cfg.MSEThresh * pair.inlier_num
+    sse_thresh = cfg.mse_margin * pair.inlier_num
     nd = pair.n_data
 
     # ---- initial incumbent at identity + worst-case chem seeds, plus the

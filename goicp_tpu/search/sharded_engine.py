@@ -99,7 +99,7 @@ def register_device_sharded(pair: PairData, cfg: GoICPConfig, mesh,
     Cr = cfg.device_rot_capacity
     Pr = cfg.rot_batch
     L = Pr * 8
-    sse = jnp.float32(cfg.MSEThresh) * pair.inlier_f()
+    sse = jnp.float32(cfg.mse_margin) * pair.inlier_f()
     presplit = jnp.asarray(_presplit_root(cfg, n))        # (M, 4)
     M = presplit.shape[0]
     m_local = -(-M // n)                                  # cubes per device

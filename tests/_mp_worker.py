@@ -65,8 +65,47 @@ def main(port: int, pid: int, nproc: int) -> None:
     max_err = float(jax.jit(jnp.max)(out.error))
     assert n_fin == 8, n_fin
     assert np.isfinite(max_err)
-    print(f"MP_OK pid={pid} finite={n_fin} max_err={max_err:.5f}",
-          flush=True)
+
+    # ---- cross-process SEARCH-axis sharding (SURVEY §2.4 item 3) ----
+    # the rotation-subtree engine's frontier lives per device across BOTH
+    # processes: incumbent all-reduce, rebalancing all_gathers, and the
+    # final pmin/psum collectives all cross the process boundary here
+    from goicp_tpu.search.device_engine import register_device
+    from goicp_tpu.search.sharded_engine import register_device_sharded
+
+    def rigid_pair(seed, n=24):
+        """Convergeable pair: data is a rigidly moved model subset."""
+        from goicp_tpu.geom.rotation import rodrigues_np
+        rng = np.random.default_rng(seed)
+        model = rng.uniform(-0.6, 0.6, size=(n, 3))
+        R = rodrigues_np(rng.uniform(-1.5, 1.5, 3))
+        data = (model[: n - 4] - rng.uniform(-0.1, 0.1, 3)) @ R
+        props = rng.integers(0, 9, size=n).astype(np.int32)
+        return prepare_pair(data, model, props[: n - 4], props, cfg,
+                            pad_cells=n, pad_points=8)
+
+    smesh = make_mesh(n_data=1, n_search=4 * nproc)
+    pair = rigid_pair(99)
+    sh = register_device_sharded(pair, cfg, smesh, rebalance_every=4)
+    sh_err = float(jax.jit(jnp.max)(sh.error))
+    sh_conv = bool(np.asarray(jax.jit(jnp.all)(sh.converged)))
+    # same optimum as the unsharded single-process engine on this pair
+    ref = register_device(pair, cfg)
+    ref_err = float(np.asarray(ref.error))
+    assert sh_conv, "sharded search did not converge"
+    assert abs(sh_err - ref_err) <= cfg.MSEThresh * pair.n_data, \
+        (sh_err, ref_err)
+
+    # lane-sharded register_device(mesh=...): the fused inner search's
+    # rotation lanes split over the cross-process search axis
+    lmesh = make_mesh(n_data=1, n_search=8)   # L = rot_batch*8 = 8 lanes
+    lane = register_device(pair, cfg, mesh=lmesh)
+    lane_err = float(np.asarray(lane.error))
+    assert abs(lane_err - ref_err) <= cfg.MSEThresh * pair.n_data, \
+        (lane_err, ref_err)
+
+    print(f"MP_OK pid={pid} finite={n_fin} max_err={max_err:.5f} "
+          f"sharded_err={sh_err:.5f} lane_err={lane_err:.5f}", flush=True)
 
 
 if __name__ == "__main__":

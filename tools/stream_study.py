@@ -7,7 +7,8 @@ by pairs that are intrinsically slow for this engine?  Prints a JSON line
 per width plus the top-10 hardest pairs, cross-referenced against the
 reference binary's per-pair walls (REF_BASELINE_WORKLOAD.json).
 
-Usage: python tools/stream_study.py [width ...]   (default: 1 8)
+Usage: python tools/stream_study.py [width:trans_pop ...]
+       (default combos: 8:32 8:16 4:32 8:8)
 """
 
 from __future__ import annotations
@@ -28,7 +29,11 @@ REF = "/root/reference"
 def main():
     # args: "width:trans_pop" combos, most promising first (partial output
     # is still useful when the tunnel stalls); single timed run per combo
-    combos = [tuple(int(x) for x in a.split(":")) for a in sys.argv[1:]] \
+    def _combo(a: str):
+        parts = [int(x) for x in a.split(":")]
+        return (parts[0], parts[1] if len(parts) > 1 else 8)
+
+    combos = [_combo(a) for a in sys.argv[1:]] \
         or [(8, 32), (8, 16), (4, 32), (8, 8)]
 
     from goicp_tpu.bench.measure import BATCH, build_batch, _check_parity
