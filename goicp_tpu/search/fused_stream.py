@@ -421,7 +421,8 @@ def register_fused_stream(pairs, cfg: GoICPConfig, width: int = 8,
                           progress=None,
                           checkpoint_path: str | None = None,
                           resume: bool = False,
-                          max_chunks: int | None = None):
+                          max_chunks: int | None = None,
+                          mesh=None):
     """Continuous-batching registration over the fused engine: a window of
     `width` pairs advances in chunks of `chunk_steps` GLOBAL iterations;
     converged pairs retire at chunk boundaries and fresh pairs refill
@@ -438,6 +439,10 @@ def register_fused_stream(pairs, cfg: GoICPConfig, width: int = 8,
     bounds the chunks executed (kill/restart tests): when hit, the state
     is saved and a RuntimeError raised.
 
+    mesh: shard the window's pair axis over the mesh's `data` axis
+    (pair-level DP for the fused engine; width must be a multiple of the
+    data-axis size).
+
     Returns DeviceResult with the batch axis in original pair order."""
     from goicp_tpu.dist.mesh import stack_pairs
     import os
@@ -446,8 +451,15 @@ def register_fused_stream(pairs, cfg: GoICPConfig, width: int = 8,
     width = min(width, B)
     stacked_all = stack_pairs(list(pairs))
 
+    def _shard(tree):
+        if mesh is None:
+            return tree
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        return jax.device_put(tree, NamedSharding(mesh, P("data")))
+
     def _take(tree, idx):
-        return jax.tree_util.tree_map(lambda x: x[jnp.asarray(idx)], tree)
+        return _shard(jax.tree_util.tree_map(
+            lambda x: x[jnp.asarray(idx)], tree))
 
     rows_orig = list(range(width))
     next_pair = width

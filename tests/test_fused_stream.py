@@ -67,6 +67,20 @@ def test_fused_stream_matches_device_engine():
         assert int(out.opt_comp[i]) == int(ref.opt_comp), i
 
 
+def test_margin_frac_tightens_gap():
+    """margin_frac < 1: every converged gap sits at or below
+    margin_frac * MSEThresh * inliers (the stop/discard epsilon the
+    engines searched to), giving headroom under the reported epsilon."""
+    from goicp_tpu.search.device_engine import register_device
+
+    cfg = _small_cfg(margin_frac=0.9)
+    for pair in _pairs(cfg, n=2, seed=7):
+        r = register_device(pair, cfg)
+        assert bool(r.converged)
+        eps = cfg.MSEThresh * float(np.asarray(pair.counts[1]))
+        assert float(r.gap) <= 0.9 * eps + 1e-6, (float(r.gap), eps)
+
+
 def test_fused_stream_checkpoint_resume(tmp_path):
     """Kill the stream mid-run (max_chunks), resume from the checkpoint,
     and land on identical results (deterministic search)."""

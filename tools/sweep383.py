@@ -31,7 +31,7 @@ sys.path.insert(0, REPO)
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=383)
-    ap.add_argument("--width", type=int, default=3)
+    ap.add_argument("--width", type=int, default=2)
     ap.add_argument("--chunk-steps", type=int, default=512)
     ap.add_argument("--out", default=os.path.join(REPO, "sweep383.jsonl"))
     ap.add_argument("--ckpt", default=os.path.join(REPO, ".sweep383.npz"))
@@ -43,8 +43,9 @@ def main():
     from goicp_tpu.search.fused_stream import register_fused_stream
 
     cfg = GoICPConfig.from_file("/root/reference/config.txt")
-    cfg = dataclasses.replace(cfg, rot_batch=1, trans_capacity=64,
-                              icp_seeds=4, max_outer_steps=4000)
+    cfg = dataclasses.replace(cfg, rot_batch=1, trans_capacity=128,
+                              icp_seeds=4, max_outer_steps=12000,
+                              margin_frac=0.9)
 
     t0 = time.time()
     pairs = build_batch(cfg, args.n)
