@@ -41,7 +41,8 @@ def main(argv=None):
     b.add_argument("--limit", type=int, default=None)
     b.add_argument("--start", type=int, default=0)
     b.add_argument("--no-rmsd", action="store_true")
-    b.add_argument("--engine", choices=["host", "device", "device-batch"],
+    b.add_argument("--engine",
+                   choices=["host", "device", "device-batch", "fused"],
                    default="host")
     b.add_argument("-q", "--quiet", action="store_true")
 

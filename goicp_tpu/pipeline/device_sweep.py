@@ -37,10 +37,12 @@ def run_sweep_device_batch(data_root: str, cfg: GoICPConfig, out_dir: str,
                            limit: int | None = None, start: int = 0,
                            resume: bool = True, with_rmsd: bool = True,
                            batch_size: int = 64, verbose: bool = False,
-                           mesh=None):
+                           mesh=None, runner: str = "compact"):
     """data_root: reference-data checkout (cavities/, cfpfh/, chains/,
     ref_proteins/, BO1 tsv files).  mesh: optional Mesh with a `data` axis
-    for multi-chip pair DP."""
+    for multi-chip pair DP.  runner: "compact" (convergence-compacted
+    vmapped chunks, search/chunked.py) or "fused" (cross-pair fused
+    stream, search/fused_stream.py — the round-3 bench engine)."""
     tsv = os.path.join(data_root, f"cavities_{kind}_BO1_clean.tsv")
     pairs = read_pair_list(tsv)
     pairs = pairs[start:start + limit] if limit is not None else pairs[start:]
@@ -94,15 +96,21 @@ def run_sweep_device_batch(data_root: str, cfg: GoICPConfig, out_dir: str,
     # dragging the whole batch; tail chunks pad with pre-converged rows so
     # the same-bucket compilation is reused without duplicate work) ----
     from goicp_tpu.search.chunked import register_device_batch_compact
+    from goicp_tpu.search.fused_stream import register_fused_stream
     results = []
     for lo in range(0, len(prepared), batch_size):
         chunk = prepared[lo:lo + batch_size]
         rows = runnable[lo:lo + batch_size]
         n_real = len(chunk)
         t0 = time.time()
-        out = register_device_batch_compact(
-            chunk, cfg, mesh=mesh,
-            pad_to=batch_size if n_real < batch_size and lo > 0 else None)
+        if runner == "fused":
+            out = register_fused_stream(chunk, cfg, width=2,
+                                        chunk_steps=512, mesh=mesh)
+        else:
+            out = register_device_batch_compact(
+                chunk, cfg, mesh=mesh,
+                pad_to=batch_size if n_real < batch_size and lo > 0
+                else None)
         wall = time.time() - t0
         per_pair_s = wall / n_real
 
@@ -123,7 +131,9 @@ def run_sweep_device_batch(data_root: str, cfg: GoICPConfig, out_dir: str,
                        compatibilities=reg.compatibilities, rmsd=res.rmsd,
                        time_s=per_pair_s, outer_steps=reg.outer_steps,
                        bound_evals=reg.bound_evals, converged=reg.converged,
-                       gap=reg.gap, engine="device-batch",
+                       gap=reg.gap,
+                       engine="fused" if runner == "fused"
+                       else "device-batch",
                        batch=n_real, batch_wall_s=wall)
             results.append(row)
             with open(results_path, "a") as fh:

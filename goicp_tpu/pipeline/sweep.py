@@ -31,14 +31,16 @@ def run_sweep(data_root: str, cfg: GoICPConfig, out_dir: str,
     """data_root: directory holding cavities/, cfpfh/, chains/, ref_proteins/
     and the BO1 tsv files (i.e. a checkout of the reference data).
 
-    engine: "host", "device" (one XLA program per pair), or "device-batch"
-    (distinct pairs registered together, one vmapped program per chunk —
-    fastest; requires trimming off)."""
-    if engine == "device-batch":
+    engine: "host", "device" (one XLA program per pair), "device-batch"
+    (distinct pairs registered together, one vmapped program per chunk),
+    or "fused" (cross-pair fused stream — the fastest path; every
+    in-flight pair advances per while_loop iteration)."""
+    if engine in ("device-batch", "fused"):
         from goicp_tpu.pipeline.device_sweep import run_sweep_device_batch
         return run_sweep_device_batch(
             data_root, cfg, out_dir, kind=kind, limit=limit, start=start,
-            resume=resume, with_rmsd=with_rmsd, verbose=verbose)
+            resume=resume, with_rmsd=with_rmsd, verbose=verbose,
+            runner="fused" if engine == "fused" else "compact")
     tsv = os.path.join(data_root, f"cavities_{kind}_BO1_clean.tsv")
     pairs = read_pair_list(tsv)
     if limit is not None:

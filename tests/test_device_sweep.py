@@ -140,3 +140,21 @@ def test_device_batch_sweep_golden_pair(ref_dir, tmp_path):
     assert os.path.exists(os.path.join(out_dir, "output", "similar1.txt"))
     assert os.path.exists(os.path.join(out_dir, "output",
                                        "similar1_rescaled.txt"))
+
+
+@pytest.mark.slow
+def test_fused_sweep_golden_pair(ref_dir, tmp_path):
+    """The fused-stream sweep runner (engine=fused) produces the same
+    artifacts and golden quality as the device-batch runner."""
+    from goicp_tpu.pipeline.sweep import run_sweep
+    cfg = GoICPConfig.from_file(f"{ref_dir}/config.txt")
+    cfg = dataclasses.replace(cfg, rot_batch=6)
+    out_dir = str(tmp_path / "bo1f")
+    rows = run_sweep(ref_dir, cfg, out_dir, kind="similar", limit=1,
+                     engine="fused")
+    assert len(rows) == 1
+    r1 = rows[0]
+    assert r1["engine"] == "fused"
+    assert abs(r1["error"] - 8.45388) < cfg.MSEThresh * 238
+    assert abs(r1["compatibilities"] - 133) <= 2
+    assert r1["rmsd"] is not None and r1["rmsd"] < 2.5
