@@ -22,12 +22,12 @@ cell coordinates are small integers, so every product/sum fits exactly in
 f32 and the result is BIT-EQUAL to the gather path.
 
 The nearest-cell argmin (needed for the chem terms) is recovered with a
-key encoding: key = d2 * Cpad + cell_index.  Keys are unique integers, so
-  * min(key) recovers (min d2, smallest winning cell index) — the same
-    tie-break as the EDT build's first-min argmin;
-  * a second min over key + BIG * incompatible[point, cell] tells whether
-    the winning cell is property-compatible: it equals min(key) iff so.
-Exactness requires 27 * S^2 * Cpad + BIG < 2^24 (f32 integer range); the
+key encoding: key = 2*(d2 * Cpad + cell_index) + incompat_bit.  Distinct
+cells' doubled keys differ by >= 2, so the per-(cell, point) bit never
+reorders cells: ONE min recovers (min d2, smallest winning cell index —
+the same tie-break as the EDT build's first-min argmin) AND the winning
+cell's compatibility in the key's parity (flag = min mod 2).  Exactness
+requires 2*(27 * S^2 * Cpad + Cpad) + 1 < 2^24 (f32 integer range); the
 wrapper falls back to the XLA gather path otherwise (cavity workloads:
 S=20, Cpad<=512 — comfortably inside).
 
@@ -85,9 +85,11 @@ def _chunk_limit(c_pad: int, ndp: int, buffers: int) -> int:
 
 def supports(size: int, c_pad: int, n_norm: int) -> bool:
     """Can the key encoding stay exact for this grid?  (chem-kernel gate:
-    the argmin-cell identity needs the combined d2*Cpad+idx key)"""
+    the argmin-cell identity needs the doubled 2*(d2*Cpad+idx)+bit key)"""
     d2_max = 27.0 * size * size          # incl. far-padded cells at -2S
-    return c_pad <= 512 and d2_max * c_pad + _BIG < 2 ** 24 and n_norm in (1, 2)
+    return (c_pad <= 512
+            and 2.0 * (d2_max * c_pad + c_pad) + 1 < 2 ** 24
+            and n_norm in (1, 2))
 
 
 _GEOM_C_CHUNK = 512      # cells per in-kernel min chunk (VMEM work tile)
@@ -336,24 +338,26 @@ def _geom_kernel(consts_ref, pts_ref, cen_ref, wid_ref, ru_ref, w_ref,
         lb_ref[0, 0] = seg_sum(f(lbd))
 
 
-def _chem_kernel(consts_ref, pts_ref, cor_ref, aug_ref, incbig_ref,
+def _chem_kernel(consts_ref, pts_ref, cor_ref, aug_ref, inc_ref,
                  out_ref, *, nd, bc, g, size, c_pad):
     """Per-corner incompatibility counts: out[q] = #points whose property is
     incompatible with the nearest occupied cell of their clamped voxel.
 
     Processes the program's bc corners in unrolled groups of g: per group,
-    ONE exact aug matmul (see _aug_chem) produces the (Cp, g*nd) argmin
-    key base, and two VPU min passes yield the nearest-cell key with and
-    without the +BIG incompatibility offset — their inequality flags the
-    points whose nearest cell is incompatible.  The BIG-scaled incompat
-    table arrives UNTILED (Cp, nd) and is tiled once in VMEM, reused by
-    every group; vs the round-2 kernel this removes the bc-times HBM
-    duplication and ~4 of 7 VPU passes over the (Cp, T) work tile."""
+    ONE exact aug matmul (see _aug_chem) produces the (Cp, g*nd) DOUBLED
+    argmin key base; adding the {0,1} incompatibility bit puts the
+    compat flag in the key's LSB without disturbing the cell order
+    (distinct cells' keys differ by >= 2), so a SINGLE min pass yields
+    both the argmin cell and its compatibility: flag = min mod 2.  The
+    incompat table arrives UNTILED (Cp, nd) and is tiled once in VMEM,
+    reused by every group; vs the round-2 kernel this removes the
+    bc-times HBM duplication and ~5 of 7 VPU passes over the (Cp, T)
+    work tile."""
     size_f = jnp.float32(size)
     p3 = pts_ref[0]                                           # (3, nd)
     p_t = jnp.concatenate([p3] * g, axis=1)                   # (3, g*nd)
-    inc_big = jnp.concatenate([incbig_ref[:]] * g, axis=1)    # (Cp, g*nd)
-    aug = aug_ref[:]                                          # (Cp, 4)
+    inc_t = jnp.concatenate([inc_ref[:]] * g, axis=1)         # (Cp, g*nd)
+    aug = aug_ref[:]                                          # (Cp, 6)
     # one-hot per-group segment reduction (g*nd, g); 0/1 matmul is exact
     rows = jax.lax.broadcasted_iota(jnp.int32, (g * nd, g), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (g * nd, g), 1)
@@ -362,10 +366,12 @@ def _chem_kernel(consts_ref, pts_ref, cor_ref, aug_ref, incbig_ref,
         cen = cor_ref[0, 0][:, grp * g:(grp + 1) * g]         # (3, g)
         pos = p_t + _expand_seg(cen, nd)
         _, clamped = _voxelize(pos, consts_ref, size_f)
-        base = _aug_dot(aug, clamped, -2.0 * c_pad)           # (Cp, g*nd)
-        m1 = jnp.min(base, axis=0, keepdims=True)
-        m2 = jnp.min(base + inc_big, axis=0, keepdims=True)
-        flag = (m2 != m1).astype(jnp.float32)                 # (1, g*nd)
+        base = _aug_dot(aug, clamped, -4.0 * c_pad)           # (Cp, g*nd)
+        m = jnp.min(base + inc_t, axis=0, keepdims=True)      # (1, g*nd)
+        # parity of the winning key = its cell's incompatibility bit
+        # (m is a signed even/odd integer, exact in f32: extract via
+        # floor of half — works for negative values too)
+        flag = m - 2.0 * jnp.floor(m * 0.5)                   # (1, g*nd)
         out_ref[0, 0, :, grp * g:(grp + 1) * g] = jax.lax.dot_general(
             flag, e_t, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)               # (1, g)
@@ -397,16 +403,22 @@ def _aug_geom(cells: jnp.ndarray) -> jnp.ndarray:
 
 
 def _aug_chem(cells: jnp.ndarray, c_pad: int) -> jnp.ndarray:
-    """(Cp,3) f32 cell coords -> (Cp,6) [c | digits(Cp*c_norm + iota)]:
-    the in-kernel _aug_dot with mult=-2*Cp yields
-    Cp*(c_norm - 2 c.v) + iota, whose per-column min is the argmin-cell
-    key of pallas chem lookups (the |v|^2*Cp term is constant per column
-    and cancels in the key comparison).  Values stay integer-exact f32
-    under the supports() gate."""
+    """(Cp,3) f32 cell coords -> (Cp,6)
+    [c | digits(2*(Cp*c_norm + iota))]: the in-kernel _aug_dot with
+    mult=-4*Cp yields 2*(Cp*(c_norm - 2 c.v) + iota) — DOUBLE the
+    argmin-cell key of pallas chem lookups (the |v|^2 term is constant
+    per column and cancels in the key comparison).  The doubling frees
+    the LSB: the kernel adds the per-(cell, point) incompatibility BIT,
+    and since distinct cells' keys differ by >= 2, the bit never reorders
+    cells — ONE min then carries the winning cell's compatibility in its
+    parity (saves a full (cells x points) min pass vs the two-min
+    formulation).  Values stay integer-exact f32 under the supports()
+    gate (max |key| ~ 2*4.8e6 + 1 << 2^24)."""
     c_norm = jnp.sum(cells * cells, axis=1)
     iota = jnp.arange(c_pad, dtype=jnp.float32)
     return jnp.concatenate(
-        [cells, _digits256(jnp.float32(c_pad) * c_norm + iota)], axis=1)
+        [cells,
+         _digits256(2.0 * (jnp.float32(c_pad) * c_norm + iota))], axis=1)
 
 
 def _pad_pts(pts_t, weights, rot_unc, nd):
@@ -546,11 +558,11 @@ def chem_incomp_kernel(pts_rot, corners, compat_table, data_mask,
         cor_t = jnp.pad(cor_t, ((0, 0), (0, 0), (0, qp - q)))
     if ndp != nd:
         pts_t = jnp.pad(pts_t, ((0, 0), (0, 0), (0, ndp - nd)))
-    # BIG-scaled incompat (Cp, Ndp), UNTILED (the kernel tiles it once in
-    # VMEM); padded points and padded cells are marked compatible
-    # (contribute 0 / never win the key min)
+    # 0/1 incompat bits (Cp, Ndp), UNTILED (the kernel tiles once in
+    # VMEM and adds them as the doubled key's LSB); padded points and
+    # padded cells are marked compatible (bit 0 — never flags)
     inc = (~compat_table) & (data_mask[:, None] > 0)         # (Nd, C)
-    inc_t = inc.T.astype(jnp.float32) * jnp.float32(_BIG)    # (C, Nd)
+    inc_t = inc.T.astype(jnp.float32)                        # (C, Nd)
     inc_t = jnp.pad(inc_t, ((0, c_pad - c_real), (0, ndp - nd)))
     consts8 = jnp.concatenate([consts.astype(jnp.float32),
                                jnp.zeros(3, jnp.float32)])[None, :]
