@@ -187,7 +187,11 @@ def _check_parity(out, cfg, batch_pairs):
         gap = np.asarray(out.gap)
         for i, p in enumerate(batch_pairs):
             eps_i = cfg.MSEThresh * float(np.asarray(p.counts[1]))
-            assert gap[i] <= cfg.margin_frac * eps_i + 1e-5, \
+            # 1e-3 tolerance: converged gaps land JUST under the tightened
+            # threshold by construction, so an exact-boundary assert would
+            # itself be numerically flaky; the headroom being proven
+            # ((1-margin_frac)*eps ~ 0.25) dwarfs the tolerance
+            assert gap[i] <= cfg.margin_frac * eps_i + 1e-3, \
                 (i, float(gap[i]), eps_i)
 
 
