@@ -1,16 +1,21 @@
 """Inner benchmark measurement (run in a child process by bench.py).
 
-Measures DISTINCT-pair batched registration throughput — the honest form
-of the headline number: the batch mixes the two real BO1 pairs that have
-checked-in ground truth with dynamic-count synthetic pairs spanning the
-BO1 cavity size range (165-306 points), all registered as ONE vmapped
-device program (pipeline/device_sweep.py's execution shape).  Identical
-pairs would converge in lockstep and flatter the batched while_loop, which
-runs until the SLOWEST pair converges (search/device_engine.py); distinct
-pairs with distinct convergence behavior measure what a real sweep sees.
+Measures DISTINCT-pair registration throughput on TWO workloads — the
+honest forms of the headline number:
+
+  * similar: the two real BO1 golden pairs + synthetic rigid-subset
+    pairs spanning the BO1 cavity size range (165-306 points);
+  * trimmed dissimilar-style: noisy/outlier synthetic pairs registered
+    with trimFraction (BASELINE.json config 4).
+
+Both run through the cross-pair fused stream (search/fused_stream.py) at
+the tuned round-3 shape, with golden parity and the convergence-margin
+guard asserted in-run.  Identical pairs would converge in lockstep and
+flatter the measurement; distinct pairs with distinct convergence
+behavior measure what a real sweep sees.
 
 Reports both BASELINE.json metrics:
-  * pairs_per_s        — batch / wall
+  * pairs_per_s        — batch / wall (per workload)
   * bound_evals_per_s  — total translation-node bound evaluations / wall
     (each eval = one (node x Nd) DT-lookup + trim + ub/lb computation, the
     reference's InnerBnB per-node hot loop, jly_goicp.cpp:343-415)
@@ -26,8 +31,6 @@ import numpy as np
 
 REF = "/root/reference"
 BATCH = 64
-STREAM_WIDTH = 8    # continuous-batching window (see chunked.py)
-CHUNK_STEPS = 32    # outer steps per dispatch between retire/refill points
 TRIM_BATCH = 32     # trimmed (dissimilar-style) workload size
 TRIM_FRACTION = 0.1  # BASELINE.json config 4 / READMEGo-ICP.md:82-84
 FUSED_WIDTH = 2     # fused-stream window (tools/fused_study.py, round 3:
