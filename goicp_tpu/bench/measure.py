@@ -248,10 +248,10 @@ def main(out_path: str):
             # in-flight pair by one inner-BnB iteration per step, outer
             # transitions fire per pair asynchronously (the round-2
             # lockstep-coupled vmapped stream cost sum-of-window-maxes;
-            # measured round 3: fused width=3 beats both it and wider
-            # fused windows — the engine is kernel-volume-bound, and 3
+            # measured round 3: fused width=2 beats both it and wider
+            # fused windows — the engine is kernel-volume-bound, and 2
             # rows keep sum(other pairs' depth)/width under the hardest
-            # pair's own sequential depth)
+            # pair's own sequential depth; see the FUSED_WIDTH table)
             return register_fused_stream(pairs, cfg, width=FUSED_WIDTH,
                                          chunk_steps=FUSED_CHUNK)
 

@@ -22,14 +22,16 @@ cell coordinates are small integers, so every product/sum fits exactly in
 f32 and the result is BIT-EQUAL to the gather path.
 
 The nearest-cell argmin (needed for the chem terms) is recovered with a
-key encoding: key = 2*(d2 * Cpad + cell_index) + incompat_bit.  Distinct
+key encoding: key = 2*(d2 * stride + cell_index) + incompat_bit, where
+stride is the next POWER OF TWO >= Cpad (the _aug_dot multiplier -4*stride
+must be a power of two to keep MXU operands bf16-exact).  Distinct
 cells' doubled keys differ by >= 2, so the per-(cell, point) bit never
 reorders cells: ONE min recovers (min d2, smallest winning cell index —
 the same tie-break as the EDT build's first-min argmin) AND the winning
 cell's compatibility in the key's parity (flag = min mod 2).  Exactness
-requires 2*(27 * S^2 * Cpad + Cpad) + 1 < 2^24 (f32 integer range); the
-wrapper falls back to the XLA gather path otherwise (cavity workloads:
-S=20, Cpad<=512 — comfortably inside).
+requires 2*(27 * S^2 * stride + stride) + 1 < 2^24 (f32 integer range);
+the wrapper falls back to the XLA gather path otherwise (cavity
+workloads: S=20, stride<=512 — comfortably inside).
 
 Per-node segment reductions (sum of dis^2 over each node's Nd points) are
 also matmuls against a 0/1 segment matrix, so the only VPU work is
@@ -64,6 +66,16 @@ def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _pow2_at_least(n: int) -> int:
+    """Smallest power of two >= n (the chem argmin-key stride must be a
+    power of two so the _aug_dot multiplier -4*stride keeps every MXU
+    operand inside 8 significand bits — see _aug_chem)."""
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
 def _chunk_limit(c_pad: int, ndp: int, buffers: int) -> int:
     """Largest per-program node/corner chunk that keeps VMEM comfortable,
     to amortize grid program overhead (callers PAD the node axis up to a
@@ -85,10 +97,14 @@ def _chunk_limit(c_pad: int, ndp: int, buffers: int) -> int:
 
 def supports(size: int, c_pad: int, n_norm: int) -> bool:
     """Can the key encoding stay exact for this grid?  (chem-kernel gate:
-    the argmin-cell identity needs the doubled 2*(d2*Cpad+idx)+bit key)"""
+    the argmin-cell identity needs the doubled 2*(d2*stride+idx)+bit key,
+    with stride = next power of two >= c_pad so the _aug_dot multiplier
+    -4*stride is itself a power of two — the documented exactness
+    precondition for 1-pass-bf16 MXU operands)"""
+    stride = _pow2_at_least(c_pad)
     d2_max = 27.0 * size * size          # incl. far-padded cells at -2S
     return (c_pad <= 512
-            and 2.0 * (d2_max * c_pad + c_pad) + 1 < 2 ** 24
+            and 2.0 * (d2_max * stride + stride) + 1 < 2 ** 24
             and n_norm in (1, 2))
 
 
@@ -339,7 +355,7 @@ def _geom_kernel(consts_ref, pts_ref, cen_ref, wid_ref, ru_ref, w_ref,
 
 
 def _chem_kernel(consts_ref, pts_ref, cor_ref, aug_ref, inc_ref,
-                 out_ref, *, nd, bc, g, size, c_pad):
+                 out_ref, *, nd, bc, g, size, stride):
     """Per-corner incompatibility counts: out[q] = #points whose property is
     incompatible with the nearest occupied cell of their clamped voxel.
 
@@ -366,7 +382,7 @@ def _chem_kernel(consts_ref, pts_ref, cor_ref, aug_ref, inc_ref,
         cen = cor_ref[0, 0][:, grp * g:(grp + 1) * g]         # (3, g)
         pos = p_t + _expand_seg(cen, nd)
         _, clamped = _voxelize(pos, consts_ref, size_f)
-        base = _aug_dot(aug, clamped, -4.0 * c_pad)           # (Cp, g*nd)
+        base = _aug_dot(aug, clamped, -4.0 * stride)          # (Cp, g*nd)
         m = jnp.min(base + inc_t, axis=0, keepdims=True)      # (1, g*nd)
         # parity of the winning key = its cell's incompatibility bit
         # (m is a signed even/odd integer, exact in f32: extract via
@@ -402,23 +418,28 @@ def _aug_geom(cells: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([cells, _digits256(c_norm)], axis=1)
 
 
-def _aug_chem(cells: jnp.ndarray, c_pad: int) -> jnp.ndarray:
+def _aug_chem(cells: jnp.ndarray, stride: int) -> jnp.ndarray:
     """(Cp,3) f32 cell coords -> (Cp,6)
-    [c | digits(2*(Cp*c_norm + iota))]: the in-kernel _aug_dot with
-    mult=-4*Cp yields 2*(Cp*(c_norm - 2 c.v) + iota) — DOUBLE the
+    [c | digits(2*(stride*c_norm + iota))]: the in-kernel _aug_dot with
+    mult=-4*stride yields 2*(stride*(c_norm - 2 c.v) + iota) — DOUBLE the
     argmin-cell key of pallas chem lookups (the |v|^2 term is constant
-    per column and cancels in the key comparison).  The doubling frees
-    the LSB: the kernel adds the per-(cell, point) incompatibility BIT,
-    and since distinct cells' keys differ by >= 2, the bit never reorders
-    cells — ONE min then carries the winning cell's compatibility in its
-    parity (saves a full (cells x points) min pass vs the two-min
-    formulation).  Values stay integer-exact f32 under the supports()
-    gate (max |key| ~ 2*4.8e6 + 1 << 2^24)."""
+    per column and cancels in the key comparison).  `stride` is the next
+    POWER OF TWO >= c_pad: _aug_dot's exactness precondition requires a
+    power-of-two multiplier (mult*v must keep v's significand), and
+    iota < c_pad <= stride keeps distinct cells' keys separated.  The
+    doubling frees the LSB: the kernel adds the per-(cell, point)
+    incompatibility BIT, and since distinct cells' keys differ by >= 2,
+    the bit never reorders cells — ONE min then carries the winning
+    cell's compatibility in its parity (saves a full (cells x points)
+    min pass vs the two-min formulation).  Values stay integer-exact f32
+    under the supports() gate (2*(27 S^2 stride + stride) + 1 < 2^24)."""
+    c_pad = cells.shape[0]
+    assert stride >= c_pad and (stride & (stride - 1)) == 0
     c_norm = jnp.sum(cells * cells, axis=1)
     iota = jnp.arange(c_pad, dtype=jnp.float32)
     return jnp.concatenate(
         [cells,
-         _digits256(2.0 * (jnp.float32(c_pad) * c_norm + iota))], axis=1)
+         _digits256(2.0 * (jnp.float32(stride) * c_norm + iota))], axis=1)
 
 
 def _pad_pts(pts_t, weights, rot_unc, nd):
@@ -567,8 +588,9 @@ def chem_incomp_kernel(pts_rot, corners, compat_table, data_mask,
     consts8 = jnp.concatenate([consts.astype(jnp.float32),
                                jnp.zeros(3, jnp.float32)])[None, :]
 
+    stride = _pow2_at_least(c_pad)
     kern = functools.partial(_chem_kernel, nd=ndp, bc=bc, g=g, size=size,
-                             c_pad=c_pad)
+                             stride=stride)
     grid = (l, k_chunks)
     cor_r = cor_t.reshape(l, 3, k_chunks, bc).transpose(0, 2, 1, 3)
     out = pl.pallas_call(
@@ -590,5 +612,5 @@ def chem_incomp_kernel(pts_rot, corners, compat_table, data_mask,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((l, k_chunks, 1, bc), jnp.float32),
         interpret=interpret,
-    )(consts8, pts_t, cor_r, _aug_chem(cells, c_pad), inc_t)
+    )(consts8, pts_t, cor_r, _aug_chem(cells, stride), inc_t)
     return out.reshape(l, qp)[:, :q]

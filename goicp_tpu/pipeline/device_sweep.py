@@ -104,7 +104,14 @@ def run_sweep_device_batch(data_root: str, cfg: GoICPConfig, out_dir: str,
         n_real = len(chunk)
         t0 = time.time()
         if runner == "fused":
-            out = register_fused_stream(chunk, cfg, width=2,
+            # width must be a multiple of the mesh data-axis size (the
+            # fused stream shards the window's pair axis over it); the
+            # single-chip optimum is 2 (tools/fused_study.py, round 3)
+            fw = 2 if mesh is None else max(2, mesh.shape["data"])
+            if mesh is not None:
+                d = mesh.shape["data"]
+                fw = -(-fw // d) * d
+            out = register_fused_stream(chunk, cfg, width=fw,
                                         chunk_steps=512, mesh=mesh)
         else:
             out = register_device_batch_compact(

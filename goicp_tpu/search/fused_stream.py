@@ -343,11 +343,30 @@ def _jit_init(cfg: GoICPConfig):
     return jax.jit(jax.vmap(lambda p: fused_init(p, cfg)))
 
 
+def _inflight_lb(state: dict) -> jnp.ndarray:
+    """(W,) lower bound of the popped parents' subtrees still mid-inner-
+    search: inner_bnb's lb_safe formula (min over thr / min_dropped, plus
+    the remaining frontier min for lanes not done) min-reduced over the
+    active lanes.  A pair retired at max_outer_steps removed its popped
+    parents from the rotation frontier at the transition, so their
+    subtree's lbs live ONLY here — without this fold `remaining`
+    overstates the proven bound and the JSONL gap under-reports."""
+    ist = state["inner"]
+    rem_min = jnp.min(ist["lbs"], axis=-1)                    # (W, L)
+    lane_lb = jnp.minimum(ist["thr"], ist["min_dropped"])
+    lane_lb = jnp.where(ist["done"], lane_lb,
+                        jnp.minimum(lane_lb, rem_min))
+    return jnp.min(jnp.where(state["active"], lane_lb, INF), axis=-1)
+
+
 def fused_finalize(state: dict) -> DeviceResult:
     """Batched state -> DeviceResult rows (device_engine.device_finalize
-    semantics: remaining/dropped lbs fold into the reported gap)."""
+    semantics: remaining/dropped lbs fold into the reported gap; for
+    unconverged rows the in-flight inner search's lower bound folds in
+    too — see _inflight_lb)."""
     s = state
     remaining = jnp.minimum(jnp.min(s["fr_lbs"], axis=-1), s["min_dropped"])
+    remaining = jnp.minimum(remaining, _inflight_lb(s))
     bound = jnp.minimum(jnp.where(s["converged"], s["final_lb"], remaining),
                         s["opt_err"])
     gap = jnp.maximum(0.0, s["opt_err"] - bound)
@@ -486,14 +505,24 @@ def register_fused_stream(pairs, cfg: GoICPConfig, width: int = 8,
         its = np.asarray(state["it"])
         finished = conv | (its >= cfg.max_outer_steps)
         if progress is not None:
+            # frontier_min folds the in-flight inner search's bound (the
+            # popped parents' subtrees are no longer in fr_lbs)
+            ist = state["inner"]
+            lane_lb = np.minimum(np.asarray(ist["thr"]),
+                                 np.asarray(ist["min_dropped"]))
+            lane_lb = np.where(np.asarray(ist["done"]), lane_lb,
+                               np.minimum(lane_lb,
+                                          np.asarray(ist["lbs"]).min(-1)))
+            infl = np.where(np.asarray(state["active"]), lane_lb,
+                            np.inf).min(-1)
             progress(dict(
                 chunk=chunks,
                 rows=[{"pair": rows_orig[r], "dead": dead[r],
                        "converged": bool(conv[r]),
                        "outer": int(its[r]),
                        "incumbent": float(np.asarray(state["opt_err"])[r]),
-                       "frontier_min": float(
-                           np.asarray(state["fr_lbs"])[r][0])}
+                       "frontier_min": float(min(
+                           np.asarray(state["fr_lbs"])[r][0], infl[r]))}
                       for r in range(width)]))
 
         if all(finished[r] or dead[r] for r in range(width)):
@@ -512,36 +541,37 @@ def register_fused_stream(pairs, cfg: GoICPConfig, width: int = 8,
             next_pair += n
             cur_pair = _take(stacked_all, idx)
             state = _jit_init(cfg)(cur_pair)
-            continue
+        else:
+            retired = [r for r in range(width)
+                       if finished[r] and not dead[r]]
+            if retired:
+                res = jax.device_get(fin(state))
+                for r in retired:
+                    if rows_orig[r] not in done:
+                        done[rows_orig[r]] = jax.tree_util.tree_map(
+                            lambda x: x[r], res)
+                    if next_pair < B:
+                        idx = np.asarray(
+                            [next_pair if i == r else
+                             (rows_orig[i] if not dead[i] else 0)
+                             for i in range(width)])
+                        cur_pair = _take(stacked_all, idx)
+                        sub_pair = _take(stacked_all,
+                                         np.asarray([next_pair]))
+                        sub_state = _jit_init(cfg)(sub_pair)
+                        state = scatter(state, r, sub_state)
+                        rows_orig[r] = next_pair
+                        next_pair += 1
+                    else:
+                        dead[r] = True
 
-        retired = [r for r in range(width) if finished[r] and not dead[r]]
-        if retired:
-            res = jax.device_get(fin(state))
-            for r in retired:
-                if rows_orig[r] not in done:
-                    done[rows_orig[r]] = jax.tree_util.tree_map(
-                        lambda x: x[r], res)
-                if next_pair < B:
-                    idx = np.asarray(
-                        [next_pair if i == r else
-                         (rows_orig[i] if not dead[i] else 0)
-                         for i in range(width)])
-                    cur_pair = _take(stacked_all, idx)
-                    sub_pair = _take(stacked_all, np.asarray([next_pair]))
-                    sub_state = _jit_init(cfg)(sub_pair)
-                    state = scatter(state, r, sub_state)
-                    rows_orig[r] = next_pair
-                    next_pair += 1
-                else:
-                    dead[r] = True
-
+        # the tail runs on EVERY path (incl. a whole-window retire+refill):
+        # the on-disk checkpoint never lags the in-memory state, and
+        # max_chunks cannot overshoot by a chunk
         if checkpoint_path:
             save_stream_state(checkpoint_path, state, rows_orig, dead,
                               next_pair, done)
         if max_chunks is not None and chunks >= max_chunks:
-            if checkpoint_path:
-                save_stream_state(checkpoint_path, state, rows_orig, dead,
-                                  next_pair, done)
             raise RuntimeError(
                 f"max_chunks={max_chunks} reached with "
                 f"{B - len(done)} pairs unfinished (state checkpointed)")
