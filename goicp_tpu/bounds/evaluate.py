@@ -219,8 +219,8 @@ def chem_corner_values(pair: PairData, cfg: GoICPConfig,
     if only_incomp and _use_pallas(pair, cfg, which="chem"):
         from goicp_tpu.bounds.pallas_eval import chem_incomp_kernel
         return {"incomp": chem_incomp_kernel(
-            pts_rot, corners, pair.compat_table, pair.data_mask,
-            pair.grid.cell_coords, pair.grid.consts,
+            pts_rot, corners, pair.cell_compat, pair.prop_onehot,
+            pair.data_mask, pair.grid.cell_coords, pair.grid.consts,
             size=pair.grid.geom.size,
             interpret=jax.default_backend() != "tpu")}
     pos = pts_rot[:, None, :, :] + corners[:, :, None, :]   # (L,Q,Nd,3)

@@ -138,22 +138,28 @@ def _voxelize(pos, consts_ref, size_f):
     return raw, clamped
 
 
-def _aug_dot(aug, clamped, mult: float):
-    """aug (Cc, 6) = [c_x c_y c_z d16 d8 d1] x clamped (3, T) ->
-    (Cc, T) = mult * (c . v) + (65536 d16 + 256 d8 + d1), EXACT in f32 at
-    DEFAULT (1-pass bf16) MXU precision: every operand has <= 8 mantissa
-    bits — cell coords and voxel coords are small integers, mult is a
-    power of two (so mult*v keeps v's mantissa), the digit columns are
-    base-256 digits in [0, 255], and their multiplier rows are powers of
-    two — so every product is exact in f32 and the f32 accumulation of
-    integer values < 2^24 is exact.  (A precision=HIGHEST dot would also
-    be exact but lowers to a ~4x slower multi-pass; measured on-chip.)"""
+def _aug_dot(aug, clamped, mult: float, extra_rows=None):
+    """aug (Cc, 6 [+E]) = [c_x c_y c_z d16 d8 d1 | extra cols] x
+    clamped (3, T) [+ extra_rows (E, T)] ->
+    (Cc, T) = mult * (c . v) + (65536 d16 + 256 d8 + d1) [+ extra.extra],
+    EXACT in f32 at DEFAULT (1-pass bf16) MXU precision: every operand has
+    <= 8 mantissa bits — cell coords and voxel coords are small integers,
+    mult is a power of two (so mult*v keeps v's mantissa), the digit
+    columns are base-256 digits in [0, 255], and their multiplier rows are
+    powers of two — so every product is exact in f32 and the f32
+    accumulation of integer values < 2^24 is exact.  extra_rows (callers:
+    the rank-9 incompatibility factors, entries in {-1,0,1}) must keep the
+    same contract.  (A precision=HIGHEST dot would also be exact but
+    lowers to a ~4x slower multi-pass; measured on-chip.)"""
     t = clamped.shape[1]
-    rows = jnp.concatenate([
+    parts = [
         jnp.float32(mult) * clamped,
         jnp.full((1, t), 65536.0, jnp.float32),
         jnp.full((1, t), 256.0, jnp.float32),
-        jnp.ones((1, t), jnp.float32)], axis=0)              # (6, T)
+        jnp.ones((1, t), jnp.float32)]
+    if extra_rows is not None:
+        parts.append(extra_rows)
+    rows = jnp.concatenate(parts, axis=0)                    # (6+E, T)
     return jax.lax.dot_general(
         aug, rows, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
@@ -270,7 +276,7 @@ _TRIM_SENTINEL = 1.0e30   # pushes padded points past any real distance
 
 def _geom_kernel(consts_ref, pts_ref, cen_ref, wid_ref, ru_ref, w_ref,
                  cells_ref, *out_refs, nd, bc, size, c_pad, norm,
-                 with_unc, fused, trim_k, trim_dynamic):
+                 with_unc, fused, trim_k, trim_dynamic, lane_tables=False):
     # trim K: static Python constant, or traced from SMEM consts slot 5
     # (dynamic-counts mode — one compilation serves every inlier count)
     k_f = consts_ref[0, 5] if trim_dynamic else jnp.float32(trim_k)
@@ -280,7 +286,7 @@ def _geom_kernel(consts_ref, pts_ref, cen_ref, wid_ref, ru_ref, w_ref,
     p3 = pts_ref[0]                                          # (3, Nd)
     p_t = jnp.concatenate([p3] * bc, axis=1)                 # (3, T)
     w_t = jnp.concatenate([w_ref[:]] * bc, axis=1)           # (1, T)
-    aug_g = cells_ref[:]                                     # (Cp, 4)
+    aug_g = cells_ref[0] if lane_tables else cells_ref[:]    # (Cp, 6)
     e, e_t = _segment_mats(t, bc, nd)
 
     cen_seg = _expand_seg(cen_ref[0, 0], nd)                 # (3, T)
@@ -354,26 +360,29 @@ def _geom_kernel(consts_ref, pts_ref, cen_ref, wid_ref, ru_ref, w_ref,
         lb_ref[0, 0] = seg_sum(f(lbd))
 
 
-def _chem_kernel(consts_ref, pts_ref, cor_ref, aug_ref, inc_ref,
-                 out_ref, *, nd, bc, g, size, stride):
+def _chem_kernel(consts_ref, pts_ref, cor_ref, aug_ref, pp_ref,
+                 out_ref, *, nd, bc, g, size, stride, lane_tables=False):
     """Per-corner incompatibility counts: out[q] = #points whose property is
     incompatible with the nearest occupied cell of their clamped voxel.
 
     Processes the program's bc corners in unrolled groups of g: per group,
     ONE exact aug matmul (see _aug_chem) produces the (Cp, g*nd) DOUBLED
-    argmin key base; adding the {0,1} incompatibility bit puts the
-    compat flag in the key's LSB without disturbing the cell order
-    (distinct cells' keys differ by >= 2), so a SINGLE min pass yields
-    both the argmin cell and its compatibility: flag = min mod 2.  The
-    incompat table arrives UNTILED (Cp, nd) and is tiled once in VMEM,
-    reused by every group; vs the round-2 kernel this removes the
-    bc-times HBM duplication and ~5 of 7 VPU passes over the (Cp, T)
-    work tile."""
+    argmin key INCLUDING the {0,1} incompatibility bit in its LSB: the
+    compat table factors exactly as rank 9 (point-property one-hot x
+    cell-compatible-with-property), so the bit rides as 10 extra 0/1
+    matmul columns (aug: [H | 1], point rows pp: [-onehot*mask; mask])
+    instead of a materialized (Cp, nd) VMEM tile + add pass (the round-3
+    formulation — this removes 1 of the 3 full passes over the work
+    tile, the bandwidth bound of this kernel).  Since distinct cells'
+    doubled keys differ by >= 2, the bit never disturbs the cell order,
+    and a SINGLE min pass yields both the argmin cell and its
+    compatibility: flag = min mod 2."""
     size_f = jnp.float32(size)
     p3 = pts_ref[0]                                           # (3, nd)
     p_t = jnp.concatenate([p3] * g, axis=1)                   # (3, g*nd)
-    inc_t = jnp.concatenate([inc_ref[:]] * g, axis=1)         # (Cp, g*nd)
-    aug = aug_ref[:]                                          # (Cp, 6)
+    pp_t = jnp.concatenate([pp_ref[0] if lane_tables
+                            else pp_ref[:]] * g, axis=1)      # (10, g*nd)
+    aug = aug_ref[0] if lane_tables else aug_ref[:]           # (Cp, 16)
     # one-hot per-group segment reduction (g*nd, g); 0/1 matmul is exact
     rows = jax.lax.broadcasted_iota(jnp.int32, (g * nd, g), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (g * nd, g), 1)
@@ -382,8 +391,8 @@ def _chem_kernel(consts_ref, pts_ref, cor_ref, aug_ref, inc_ref,
         cen = cor_ref[0, 0][:, grp * g:(grp + 1) * g]         # (3, g)
         pos = p_t + _expand_seg(cen, nd)
         _, clamped = _voxelize(pos, consts_ref, size_f)
-        base = _aug_dot(aug, clamped, -4.0 * stride)          # (Cp, g*nd)
-        m = jnp.min(base + inc_t, axis=0, keepdims=True)      # (1, g*nd)
+        m = jnp.min(_aug_dot(aug, clamped, -4.0 * stride, extra_rows=pp_t),
+                    axis=0, keepdims=True)                    # (1, g*nd)
         # parity of the winning key = its cell's incompatibility bit
         # (m is a signed even/odd integer, exact in f32: extract via
         # floor of half — works for negative values too)
@@ -546,21 +555,119 @@ def geometric_bounds_kernel(pts_rot, centers, widths, rot_unc, weights,
     return tuple(o.reshape(l, b)[:, :b0] for o in outs)
 
 
+def geom_table(cell_coords, size: int) -> jnp.ndarray:
+    """Per-pair geometric kernel table: (Cp,6) [c | digits(c_norm)]
+    (precompute once per pair; the packed engine gathers rows per slot)."""
+    return _aug_geom(_pad_cells(cell_coords, size))
+
+
+def chem_tables(cell_coords, cell_compat, prop_onehot, data_mask,
+                size: int):
+    """Per-pair chem kernel tables: aug16 (Cp,16) cell-side columns and
+    pp (10,Nd) point-side rows (see chem_incomp_kernel for semantics)."""
+    cells = _pad_cells(cell_coords, size)
+    c_pad = cells.shape[0]
+    c_real = cell_compat.shape[0]
+    stride = _pow2_at_least(c_pad)
+    hcols = jnp.pad(cell_compat.astype(jnp.float32),
+                    ((0, c_pad - c_real), (0, 0)))
+    aug16 = jnp.concatenate(
+        [_aug_chem(cells, stride), hcols,
+         jnp.ones((c_pad, 1), jnp.float32)], axis=1)
+    pp = jnp.concatenate([
+        -prop_onehot.T,
+        (data_mask > 0).astype(jnp.float32)[None, :]], axis=0)
+    return aug16, pp
+
+
+@functools.partial(jax.jit, static_argnames=("size", "norm", "fused",
+                                             "trim", "interpret"))
+def geometric_bounds_kernel_lanes(pts_rot, centers, widths, rot_unc,
+                                  weights, cells_aug, consts_lanes, *,
+                                  size: int, norm: int, fused: bool = True,
+                                  trim: bool = False,
+                                  interpret: bool = False):
+    """Per-LANE-table variant of geometric_bounds_kernel for the packed
+    cross-pair engine (search/packed_stream.py): every lane may belong to
+    a DIFFERENT registration pair, so weights / occupied-cell tables /
+    grid consts arrive with a leading lane axis and each grid program
+    reads its own lane's slice.  Shapes share one bucket (same c_pad/Nd
+    across the pool — the sweep's bucketed prep guarantees this).
+
+    pts_rot (L,Nd,3), centers (L,B,3), widths (L,B), rot_unc (L,Nd),
+    weights (L,Nd), cells_aug (L,Cp,6) = per-pair _aug_geom(_pad_cells),
+    consts_lanes (L,8) = per-pair grid consts with the trim count in
+    slot 5 -> (ub, ubu, lbu) each (L,B).  trim selects the in-kernel
+    bisection select with the PER-LANE traced count (dynamic-counts
+    semantics of geometric_bounds_kernel)."""
+    l, nd, _ = pts_rot.shape
+    b0 = centers.shape[1]
+    c_pad = cells_aug.shape[1]
+    bc = min(b0, _chunk_limit(min(c_pad, _GEOM_C_CHUNK),
+                              _ceil_to(nd, _LANE), buffers=2))
+    b = _ceil_to(b0, bc)
+    if b != b0:
+        centers = jnp.pad(centers, ((0, 0), (0, b - b0), (0, 0)))
+        widths = jnp.pad(widths, ((0, 0), (0, b - b0)))
+    pts_t = pts_rot.transpose(0, 2, 1)
+    cen_t = centers.transpose(0, 2, 1)
+    pts_t, w2, ru, ndp = _pad_pts(pts_t, weights, rot_unc, nd)
+
+    kern = functools.partial(_geom_kernel, nd=ndp, bc=bc, size=size,
+                             c_pad=c_pad, norm=norm, with_unc=True,
+                             fused=fused, trim_k=0, trim_dynamic=trim,
+                             lane_tables=True)
+    k_chunks = b // bc
+    grid = (l, k_chunks)
+    cen_r = cen_t.reshape(l, 3, k_chunks, bc).transpose(0, 2, 1, 3)
+    wid_r = widths.reshape(l, k_chunks, 1, bc)
+    ru_r = ru[:, None, :]
+    outs = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 8), lambda i, k: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 3, ndp), lambda i, k: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 3, bc), lambda i, k: (i, k, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, bc), lambda i, k: (i, k, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, ndp), lambda i, k: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ndp), lambda i, k: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c_pad, 6), lambda i, k: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[pl.BlockSpec((1, 1, 1, bc), lambda i, k: (i, k, 0, 0),
+                                memory_space=pltpu.VMEM)] * 3,
+        out_shape=[jax.ShapeDtypeStruct((l, k_chunks, 1, bc), jnp.float32)
+                   ] * 3,
+        interpret=interpret,
+    )(consts_lanes, pts_t, cen_r, wid_r, ru_r, w2, cells_aug)
+    return tuple(o.reshape(l, b)[:, :b0] for o in outs)
+
+
 @functools.partial(jax.jit, static_argnames=("size", "interpret"))
-def chem_incomp_kernel(pts_rot, corners, compat_table, data_mask,
-                       cell_coords, consts, *, size: int,
+def chem_incomp_kernel(pts_rot, corners, cell_compat, prop_onehot,
+                       data_mask, cell_coords, consts, *, size: int,
                        interpret: bool = False):
     """Per-corner incompatibility counts (BnB chem path, zero gathers).
 
-    pts_rot (L,Nd,3), corners (L,Q,3), compat_table (Nd,C) bool,
-    data_mask (Nd,) -> counts (L,Q) f32.  Matches the XLA path of
-    bounds/evaluate.chem_corner_values()["incomp"] exactly.
+    pts_rot (L,Nd,3), corners (L,Q,3), cell_compat (C,9) f32 0/1,
+    prop_onehot (Nd,9) f32 masked one-hot, data_mask (Nd,) -> counts
+    (L,Q) f32.  Matches the XLA path of
+    bounds/evaluate.chem_corner_values()["incomp"] exactly: the
+    incompatibility bit inc(i,j) = mask_i - sum_k onehot[i,k]*H[j,k]
+    rides inside the key matmul (see _chem_kernel).
     """
     l, nd, _ = pts_rot.shape
     q = corners.shape[1]
     cells = _pad_cells(cell_coords, size)
     c_pad = cells.shape[0]
-    c_real = compat_table.shape[1]
+    c_real = cell_compat.shape[0]
     ndp = _ceil_to(nd, _LANE)
 
     # group size g: corners evaluated per aug matmul; 27-group programs
@@ -579,12 +686,15 @@ def chem_incomp_kernel(pts_rot, corners, compat_table, data_mask,
         cor_t = jnp.pad(cor_t, ((0, 0), (0, 0), (0, qp - q)))
     if ndp != nd:
         pts_t = jnp.pad(pts_t, ((0, 0), (0, 0), (0, ndp - nd)))
-    # 0/1 incompat bits (Cp, Ndp), UNTILED (the kernel tiles once in
-    # VMEM and adds them as the doubled key's LSB); padded points and
-    # padded cells are marked compatible (bit 0 — never flags)
-    inc = (~compat_table) & (data_mask[:, None] > 0)         # (Nd, C)
-    inc_t = inc.T.astype(jnp.float32)                        # (C, Nd)
-    inc_t = jnp.pad(inc_t, ((0, c_pad - c_real), (0, ndp - nd)))
+    # point-side rows of the incompatibility fold: [-onehot*mask; mask]
+    # (entries in {-1,0,1} — exact bf16 MXU operands); padded points get
+    # all-zero columns -> inc = 0 (never flags).  Cell-side columns:
+    # [H (Cp,9) | 1]; padded cells never win the min (parked far by
+    # _pad_cells), their columns are harmless zeros/ones.
+    del c_real
+    aug16, pp = chem_tables(cell_coords, cell_compat, prop_onehot,
+                            data_mask, size)                 # (Cp,16),(10,Nd)
+    pp = jnp.pad(pp, ((0, 0), (0, ndp - nd)))
     consts8 = jnp.concatenate([consts.astype(jnp.float32),
                                jnp.zeros(3, jnp.float32)])[None, :]
 
@@ -603,14 +713,69 @@ def chem_incomp_kernel(pts_rot, corners, compat_table, data_mask,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 3, bc), lambda i, k: (i, k, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((c_pad, 6), lambda i, k: (0, 0),
+            pl.BlockSpec((c_pad, 16), lambda i, k: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((c_pad, ndp), lambda i, k: (0, 0),
+            pl.BlockSpec((10, ndp), lambda i, k: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, 1, bc), lambda i, k: (i, k, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((l, k_chunks, 1, bc), jnp.float32),
         interpret=interpret,
-    )(consts8, pts_t, cor_r, _aug_chem(cells, stride), inc_t)
+    )(consts8, pts_t, cor_r, aug16, pp)
+    return out.reshape(l, qp)[:, :q]
+
+
+@functools.partial(jax.jit, static_argnames=("size", "interpret"))
+def chem_incomp_kernel_lanes(pts_rot, corners, aug16, pp, consts_lanes, *,
+                             size: int, interpret: bool = False):
+    """Per-LANE-table variant of chem_incomp_kernel (packed cross-pair
+    engine): aug16 (L,Cp,16) = per-pair [_aug_chem | H | 1] columns,
+    pp (L,10,Nd) = per-pair [-onehot*mask; mask] rows, consts_lanes (L,8)
+    -> counts (L,Q) f32 (same values as chem_incomp_kernel per lane)."""
+    l, nd, _ = pts_rot.shape
+    q = corners.shape[1]
+    c_pad = aug16.shape[1]
+    ndp = _ceil_to(nd, _LANE)
+
+    g = 8
+    groups_total = -(-q // g)
+    gpp = min(groups_total, 27)
+    k_chunks = -(-groups_total // gpp)
+    bc = gpp * g
+    qp = k_chunks * bc
+
+    pts_t = pts_rot.transpose(0, 2, 1)
+    cor_t = corners.transpose(0, 2, 1)                       # (l, 3, q)
+    if qp != q:
+        cor_t = jnp.pad(cor_t, ((0, 0), (0, 0), (0, qp - q)))
+    if ndp != nd:
+        pts_t = jnp.pad(pts_t, ((0, 0), (0, 0), (0, ndp - nd)))
+        pp = jnp.pad(pp, ((0, 0), (0, 0), (0, ndp - nd)))
+
+    stride = _pow2_at_least(c_pad)
+    kern = functools.partial(_chem_kernel, nd=ndp, bc=bc, g=g, size=size,
+                             stride=stride, lane_tables=True)
+    grid = (l, k_chunks)
+    cor_r = cor_t.reshape(l, 3, k_chunks, bc).transpose(0, 2, 1, 3)
+    out = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 8), lambda i, k: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 3, ndp), lambda i, k: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 3, bc), lambda i, k: (i, k, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c_pad, 16), lambda i, k: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 10, ndp), lambda i, k: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, 1, bc), lambda i, k: (i, k, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((l, k_chunks, 1, bc), jnp.float32),
+        interpret=interpret,
+    )(consts_lanes, pts_t, cor_r, aug16, pp)
     return out.reshape(l, qp)[:, :q]

@@ -71,6 +71,11 @@ class GoICPConfig:
     fused_inner: int = 1         # 1 = one fused inner search per outer step
                                  # (ub+lb from a single DT lookup; halves the
                                  # bound work at identical epsilon guarantees)
+    packed_slots: int = 8        # packed cross-pair stream: lanes served
+                                 # per global iteration (the kernel-volume
+                                 # budget; search/packed_stream.py picks
+                                 # the least-advanced live lanes across
+                                 # every in-flight pair)
     lane_compaction: int = 1     # 1 = staged inner-lane compaction
                                  # (L -> L/2 -> L/4): done lanes are gathered
                                  # out of the evaluated batch; bit-identical

@@ -48,6 +48,12 @@ class PairData:
     grid: Grid
     compat_table: jnp.ndarray  # (Nd, C) bool
     fpfh_table: jnp.ndarray    # (Nd, C) f32
+    cell_compat: jnp.ndarray   # (C, 9) f32 0/1 rank factor: cell j
+                               # compatible-with-property-k (uniform cell:
+                               # compat-matrix column of its color; mixed
+                               # cell: its property bitmask) —
+                               # compat_table == prop_onehot @ cell_compat.T
+    prop_onehot: jnp.ndarray   # (Nd, 9) f32 one-hot of data_props x mask
     norm_data: jnp.ndarray     # (Nd,) f32 point norms (rot uncertainty)
     comp_voxel: jnp.ndarray    # (Nd, S^3) bool fused chem table, or (0,0)
     fpfh_voxel: jnp.ndarray    # (Nd, S^3) f32 fused chem table, or (0,0)
@@ -63,7 +69,8 @@ class PairData:
         children = (self.data, self.model, self.weights, self.data_props,
                     self.model_props, self.data_nbrs, self.model_nbrs,
                     self.data_fpfh, self.model_fpfh, self.grid,
-                    self.compat_table, self.fpfh_table, self.norm_data,
+                    self.compat_table, self.fpfh_table, self.cell_compat,
+                    self.prop_onehot, self.norm_data,
                     self.comp_voxel, self.fpfh_voxel, self.data_mask,
                     self.counts)
         return children, (self.inlier_num, self.n_data, self.n_model,
@@ -123,6 +130,15 @@ def _chem_tables(grid: Grid, data_props: jnp.ndarray,
     comp_mixed = ((mask[None, :] >> data_props[:, None]) & 1) == 1
     compat_table = jnp.where(uniform[None, :], comp_uniform, comp_mixed)
 
+    # exact rank-9 factorization of the same table (compat_table ==
+    # prop_onehot @ cell_compat.T): lets the Pallas chem kernel ride the
+    # incompatibility bit INSIDE its key matmul as 9 extra 0/1 columns
+    # instead of adding a materialized (C, Nd) VMEM tile (pallas_eval)
+    ks = jnp.arange(9)
+    hu = compat[:, jnp.clip(color, 0)].T                          # (C, 9)
+    hm = ((mask[:, None] >> ks[None, :]) & 1) == 1                # (C, 9)
+    cell_compat = jnp.where(uniform[:, None], hu, hm).astype(jnp.float32)
+
     # fpfh_table: min over cell points of L1 descriptor distance
     K = grid.cell_points.shape[1]
 
@@ -139,7 +155,7 @@ def _chem_tables(grid: Grid, data_props: jnp.ndarray,
     fpfh_table, _ = jax.lax.scan(scan_k, init,
                                  jnp.arange(K, dtype=jnp.int32))
     # cells with no points (padding) keep +inf; real lookups never hit them
-    return compat_table, fpfh_table
+    return compat_table, fpfh_table, cell_compat
 
 
 def bucket_dims(target: np.ndarray, nd: int, nm: int,
@@ -256,7 +272,7 @@ def prepare_pair(source: np.ndarray, target: np.ndarray,
         tf = np.vstack([tf, np.zeros((nmp - nm, tf.shape[1]), np.float32)])
 
     compat = jnp.asarray(compatibility_matrix())
-    compat_table, fpfh_table = _chem_tables(
+    compat_table, fpfh_table, cell_compat = _chem_tables(
         grid, jnp.asarray(sp), jnp.asarray(sf), jnp.asarray(tf), compat)
     if ndp > nd:
         # padded data rows: always-compatible, zero descriptor distance, so
@@ -264,6 +280,9 @@ def prepare_pair(source: np.ndarray, target: np.ndarray,
         mask_col = jnp.asarray(data_mask[:, None] > 0)
         compat_table = jnp.where(mask_col, compat_table, True)
         fpfh_table = jnp.where(mask_col, fpfh_table, 0.0)
+    # masked one-hot: padded points contribute inc = mask - sum == 0
+    prop_onehot = (jnp.asarray(sp)[:, None] == jnp.arange(9)[None, :]
+                   ).astype(jnp.float32) * jnp.asarray(data_mask)[:, None]
 
     # fused per-(point, voxel) chem tables: one gather instead of
     # voxel -> nearest-cell -> (point, cell) table; worth the memory only on
@@ -292,6 +311,7 @@ def prepare_pair(source: np.ndarray, target: np.ndarray,
         data_nbrs=jnp.asarray(data_nbrs), model_nbrs=jnp.asarray(model_nbrs),
         data_fpfh=jnp.asarray(sf), model_fpfh=jnp.asarray(tf),
         grid=grid, compat_table=compat_table, fpfh_table=fpfh_table,
+        cell_compat=cell_compat, prop_onehot=prop_onehot,
         norm_data=jnp.linalg.norm(jnp.asarray(src), axis=1)
         * jnp.asarray(data_mask),
         comp_voxel=comp_voxel, fpfh_voxel=fpfh_voxel,

@@ -435,6 +435,17 @@ def load_stream_state(path: str):
     return state, rows_orig, dead, next_pair, done
 
 
+def _fused_inflight_np(state: dict) -> np.ndarray:
+    """(W,) in-flight inner lower bound, host-side (progress telemetry)."""
+    ist = state["inner"]
+    lane_lb = np.minimum(np.asarray(ist["thr"]),
+                         np.asarray(ist["min_dropped"]))
+    lane_lb = np.where(np.asarray(ist["done"]), lane_lb,
+                       np.minimum(lane_lb,
+                                  np.asarray(ist["lbs"]).min(-1)))
+    return np.where(np.asarray(state["active"]), lane_lb, np.inf).min(-1)
+
+
 def register_fused_stream(pairs, cfg: GoICPConfig, width: int = 8,
                           chunk_steps: int = 256,
                           progress=None,
@@ -463,6 +474,22 @@ def register_fused_stream(pairs, cfg: GoICPConfig, width: int = 8,
     data-axis size).
 
     Returns DeviceResult with the batch axis in original pair order."""
+    return _stream_driver(pairs, cfg, width=width, chunk_steps=chunk_steps,
+                          progress=progress,
+                          checkpoint_path=checkpoint_path, resume=resume,
+                          max_chunks=max_chunks, mesh=mesh,
+                          init_fn=_jit_init, run_chunk=fused_run_chunk,
+                          finalize=fused_finalize,
+                          inflight_fn=_fused_inflight_np)
+
+
+def _stream_driver(pairs, cfg: GoICPConfig, width, chunk_steps, progress,
+                   checkpoint_path, resume, max_chunks, mesh,
+                   init_fn, run_chunk, finalize, inflight_fn=None):
+    """Engine-generic continuous-batching host loop (window refill,
+    checkpoint/resume, progress) shared by the fused and packed streams.
+    init_fn(cfg) -> jitted batch init; run_chunk(pair_batch, cfg, state,
+    steps) -> state; finalize(state) -> DeviceResult batch."""
     from goicp_tpu.dist.mesh import stack_pairs
     import os
 
@@ -491,15 +518,14 @@ def register_fused_stream(pairs, cfg: GoICPConfig, width: int = 8,
         cur_pair = _take(stacked_all, np.asarray(rows_orig))
     else:
         cur_pair = _take(stacked_all, np.arange(width))
-        state = _jit_init(cfg)(cur_pair)
-    fin = jax.jit(fused_finalize)
+        state = init_fn(cfg)(cur_pair)
+    fin = jax.jit(finalize)
     scatter = jax.jit(lambda state, row, sub: jax.tree_util.tree_map(
         lambda a, b: a.at[row].set(b[0]), state, sub))
 
     chunks = 0
     while True:
-        state = fused_run_chunk(cur_pair, cfg, state,
-                                np.int32(chunk_steps))
+        state = run_chunk(cur_pair, cfg, state, np.int32(chunk_steps))
         chunks += 1
         conv = np.asarray(state["converged"])
         its = np.asarray(state["it"])
@@ -507,14 +533,8 @@ def register_fused_stream(pairs, cfg: GoICPConfig, width: int = 8,
         if progress is not None:
             # frontier_min folds the in-flight inner search's bound (the
             # popped parents' subtrees are no longer in fr_lbs)
-            ist = state["inner"]
-            lane_lb = np.minimum(np.asarray(ist["thr"]),
-                                 np.asarray(ist["min_dropped"]))
-            lane_lb = np.where(np.asarray(ist["done"]), lane_lb,
-                               np.minimum(lane_lb,
-                                          np.asarray(ist["lbs"]).min(-1)))
-            infl = np.where(np.asarray(state["active"]), lane_lb,
-                            np.inf).min(-1)
+            infl = inflight_fn(state) if inflight_fn is not None \
+                else np.full(width, np.inf)
             progress(dict(
                 chunk=chunks,
                 rows=[{"pair": rows_orig[r], "dead": dead[r],
@@ -540,7 +560,7 @@ def register_fused_stream(pairs, cfg: GoICPConfig, width: int = 8,
             dead = [i >= n for i in range(width)]
             next_pair += n
             cur_pair = _take(stacked_all, idx)
-            state = _jit_init(cfg)(cur_pair)
+            state = init_fn(cfg)(cur_pair)
         else:
             retired = [r for r in range(width)
                        if finished[r] and not dead[r]]
@@ -558,7 +578,7 @@ def register_fused_stream(pairs, cfg: GoICPConfig, width: int = 8,
                         cur_pair = _take(stacked_all, idx)
                         sub_pair = _take(stacked_all,
                                          np.asarray([next_pair]))
-                        sub_state = _jit_init(cfg)(sub_pair)
+                        sub_state = init_fn(cfg)(sub_pair)
                         state = scatter(state, r, sub_state)
                         rows_orig[r] = next_pair
                         next_pair += 1

@@ -84,11 +84,26 @@ def test_chem_incomp_kernel_matches_xla():
                       jnp.float32)
     corners = jnp.asarray(rng.uniform(-0.8, 0.8, size=(L, Q, 3)), jnp.float32)
     vals = ev.chem_corner_values(pair, cfg, pts, corners)
-    got = chem_incomp_kernel(pts, corners, pair.compat_table, pair.data_mask,
+    got = chem_incomp_kernel(pts, corners, pair.cell_compat,
+                             pair.prop_onehot, pair.data_mask,
                              pair.grid.cell_coords, pair.grid.consts,
                              size=pair.grid.geom.size, interpret=True)
     np.testing.assert_array_equal(np.asarray(got),
                                   np.asarray(vals["incomp"]))
+
+
+def test_compat_rank9_factorization_exact():
+    """The (Nd, C) compat table == masked prop one-hot @ cell_compat.T —
+    the identity that lets the chem kernel ride the incompatibility bit
+    inside its key matmul (pallas_eval._chem_kernel)."""
+    pair, _ = _pair_and_cfg()
+    prod = pair.prop_onehot @ pair.cell_compat.T          # (Nd, C)
+    mask = np.asarray(pair.data_mask) > 0
+    want = np.asarray(pair.compat_table)[mask]
+    np.testing.assert_array_equal(np.asarray(prod)[mask], want.astype(
+        np.float32))
+    # padded rows: zero product -> inc = mask - prod = 0
+    np.testing.assert_array_equal(np.asarray(prod)[~mask], 0.0)
 
 
 @pytest.mark.parametrize("fused", [False, True])
