@@ -180,6 +180,12 @@ def adapt_device_result(res, n_data: int, time_s: float
                         ) -> RegistrationResult:
     """DeviceResult (already device_get, one pair's row) -> the host
     engine's RegistrationResult."""
+    if np.isnan(float(res.error)):
+        # numeric guard (SURVEY §5): engines adopt NaN scores
+        # infectiously (NaN-propagating comparisons) precisely so a NaN
+        # escaping scoring fails HERE instead of silently vanishing
+        raise FloatingPointError(
+            "NaN escaped bound/ICP scoring (engine incumbent is NaN)")
     terms = np.asarray(res.terms, np.float64)
     comp = int(res.opt_comp)
     return RegistrationResult(

@@ -218,7 +218,12 @@ def _make_body(pair: PairData, cfg: GoICPConfig, inner):
         # argsort below re-establishes the order after the merge.
         pop_lb = s["fr_lbs"][:Pr]
         min_lb = pop_lb[0]
-        converged = jnp.isinf(min_lb) | (s["opt_err"] - min_lb <= sse)
+        # numeric guard (SURVEY §5): a NaN incumbent freezes the search
+        # immediately and surfaces at the host (adapt_device_result
+        # raises); NaN candidates are adopted infectiously below
+        # (~(x >= y) comparisons) instead of being silently dropped
+        converged = jnp.isinf(min_lb) | (s["opt_err"] - min_lb <= sse) \
+            | jnp.isnan(s["opt_err"])
         final_lb = jnp.where(converged & ~s["converged"], min_lb,
                              s["final_lb"])
         parents = s["fr_nodes"][:Pr]                       # (Pr, 4)
@@ -266,7 +271,7 @@ def _make_body(pair: PairData, cfg: GoICPConfig, inner):
         tn = res_ub.best_node[best_lane]
         cand_t = tn[:3] + tn[3] / 2.0
         cand_terms = res_ub.ub_terms[best_lane]
-        bnb_improved = cand_ub < s["opt_err"]
+        bnb_improved = ~(cand_ub >= s["opt_err"])     # NaN-infectious <
 
         # ICP gating (reference semantics: refine only on improvement,
         # jly_goicp.cpp:771-854).  The enabled flag makes the ICP
@@ -277,7 +282,7 @@ def _make_body(pair: PairData, cfg: GoICPConfig, inner):
         do_icp = bnb_improved if cfg.icp_on_improve else None
         icp_R, icp_t, sc, icp_incomp = _icp_best_of_seeds(
             pair, cfg, R_lanes, res_ub.best_node, ubs, enabled=do_icp)
-        icp_improved = sc.error < incumbent
+        icp_improved = ~(sc.error >= incumbent)       # NaN-infectious <
         if cfg.icp_on_improve:
             icp_improved = icp_improved & bnb_improved
 

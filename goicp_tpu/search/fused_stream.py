@@ -204,7 +204,8 @@ def _advance(pair: PairData, cfg: GoICPConfig, s: dict, h: dict, r: dict,
     # ---- convergence check + pop the next Pr parents ----
     pop_lb = keep_lbs[:Pr]
     min_lb = pop_lb[0]
-    converged = jnp.isinf(min_lb) | (opt_err - min_lb <= sse)
+    converged = jnp.isinf(min_lb) | (opt_err - min_lb <= sse) \
+        | jnp.isnan(opt_err)    # numeric guard: freeze on NaN incumbent
     final_lb = jnp.where(converged & ~s["converged"], min_lb, s["final_lb"])
     parents = keep_nodes[:Pr]
     rest_lbs = jnp.concatenate(
@@ -281,7 +282,7 @@ def _transition_batch(pair_batch: PairData, cfg: GoICPConfig, s: dict,
     The adopt ordering is identical to device_engine._make_body, so the
     per-pair trajectory matches register_device exactly."""
     h = jax.vmap(_harvest, in_axes=(0, None, 0))(pair_batch, cfg, s)
-    bnb_improved = mask & (h["cand_ub"] < s["opt_err"])
+    bnb_improved = mask & ~(h["cand_ub"] >= s["opt_err"])  # NaN-infectious
     do_icp = bnb_improved if cfg.icp_on_improve else mask
 
     def refine(_):
@@ -294,7 +295,7 @@ def _transition_batch(pair_batch: PairData, cfg: GoICPConfig, s: dict,
 
     r = jax.lax.cond(jnp.any(do_icp), refine, refine_dummy, None)
     incumbent = jnp.minimum(s["opt_err"], h["cand_ub"])
-    icp_improved = do_icp & (r["icp_err"] < incumbent)
+    icp_improved = do_icp & ~(r["icp_err"] >= incumbent)   # NaN-infectious
     return jax.vmap(_advance,
                     in_axes=(0, None, 0, 0, 0, 0, 0, 0))(
         pair_batch, cfg, s, h, r, mask, bnb_improved, icp_improved)
@@ -597,6 +598,13 @@ def _stream_driver(pairs, cfg: GoICPConfig, width, chunk_steps, progress,
                 f"{B - len(done)} pairs unfinished (state checkpointed)")
 
     rows = [done[i] for i in range(B)]
-    return DeviceResult(*(np.stack([np.asarray(getattr(r, f))
-                                    for r in rows])
-                          for f in DeviceResult._fields))
+    out = DeviceResult(*(np.stack([np.asarray(getattr(r, f))
+                                   for r in rows])
+                         for f in DeviceResult._fields))
+    if np.isnan(np.asarray(out.error)).any():
+        # numeric guard (SURVEY §5): engines make NaN scores infectious
+        # so they surface loudly here rather than being silently ignored
+        bad = np.where(np.isnan(np.asarray(out.error)))[0].tolist()
+        raise FloatingPointError(
+            f"NaN escaped bound/ICP scoring for pair rows {bad}")
+    return out

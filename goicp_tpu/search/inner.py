@@ -243,7 +243,7 @@ def _make_inner_body(pair, cfg, pts_rot, mrd, sse_thresh, child_off,
         # adopt the best child ub per lane
         bc = jnp.argmin(ub, axis=1)                          # (L,)
         best_ub = jnp.take_along_axis(ub, bc[:, None], axis=1)[:, 0]
-        improved = (best_ub < s["opt_err"]) & ~done
+        improved = ~(best_ub >= s["opt_err"]) & ~done   # NaN-infectious <
         opt_err = jnp.where(improved, best_ub, s["opt_err"])
         chosen = jnp.take_along_axis(
             children.reshape(L, P * 8, 4), bc[:, None, None], axis=1)[:, 0]

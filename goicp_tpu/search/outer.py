@@ -209,6 +209,9 @@ def register(pair: PairData, cfg: GoICPConfig, verbose: bool = False,
     init_vals = jax.device_get((init_err_dev, res, sc, icp_incomp))
     opt_error, res, sc, icp_incomp = init_vals
     opt_error = float(opt_error)
+    if np.isnan(opt_error) or np.isnan(float(sc.error)):
+        # numeric guard (SURVEY §5): fail loudly, never search on NaN
+        raise FloatingPointError("NaN in initial error/ICP scoring")
     geom_err = opt_error
     log(f"Error*: {opt_error:.6g} (Init)")
     if float(sc.error) < opt_error:

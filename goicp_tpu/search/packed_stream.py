@@ -242,7 +242,7 @@ def _packed_iter(cfg: GoICPConfig, size: int, sn, ss, pm, tab, pside,
     # adopt the best child ub per lane
     bc = jnp.argmin(ub, axis=1)
     best_ub = jnp.take_along_axis(ub, bc[:, None], axis=1)[:, 0]
-    improved = (best_ub < opt_err0) & ~done
+    improved = ~(best_ub >= opt_err0) & ~done       # NaN-infectious <
     opt_err = jnp.where(improved, best_ub, opt_err0)
     chosen = jnp.take_along_axis(
         children.reshape(S, P * 8, 4), bc[:, None, None], axis=1)[:, 0]

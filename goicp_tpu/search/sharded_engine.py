@@ -205,7 +205,7 @@ def register_device_sharded(pair: PairData, cfg: GoICPConfig, mesh,
             g_err = jax.lax.all_gather(prop_err, AXIS)    # (n,)
             j = jnp.argmin(g_err)
             g_best = g_err[j]
-            improved = g_best < s["opt_err"]
+            improved = ~(g_best >= s["opt_err"])            # NaN-infectious <
             opt_err = jnp.where(improved, g_best, s["opt_err"])
             opt_R = jnp.where(improved,
                               jax.lax.all_gather(prop_R, AXIS)[j],

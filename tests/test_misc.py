@@ -50,3 +50,38 @@ def test_cli_help():
     from goicp_tpu.cli import main
     with pytest.raises(SystemExit):
         main(["--help"])
+
+
+def test_nan_guard_fails_loudly():
+    """Numeric guard (SURVEY §5): a NaN entering the scoring path is
+    adopted infectiously by the engines (NaN-propagating comparisons)
+    and raised as FloatingPointError at the host surface — never
+    silently dropped by a NaN-compares-false jnp.where."""
+    import dataclasses
+
+    import jax
+    import numpy as np
+    import pytest
+
+    from goicp_tpu.config import GoICPConfig
+    from goicp_tpu.pipeline.pair import adapt_device_result
+    from goicp_tpu.pipeline.prepare import prepare_pair
+    from goicp_tpu.search.device_engine import register_device
+
+    cfg = GoICPConfig(regularization=0.0005, ponderation=1,
+                      distTransSize=12, trans_capacity=16, trans_pop=2,
+                      rot_batch=1, inner_max_iters=40, max_outer_steps=50,
+                      icp_seeds=1, icp_max_iter=20)
+    rng = np.random.default_rng(4)
+    src = rng.uniform(-0.7, 0.7, size=(24, 3))
+    tgt = rng.uniform(-0.7, 0.7, size=(30, 3))
+    pair = prepare_pair(src, tgt, rng.integers(0, 9, 24).astype(np.int32),
+                        rng.integers(0, 9, 30).astype(np.int32), cfg)
+    bad = dataclasses.replace(
+        pair, weights=pair.weights.at[3].set(np.nan))
+    res = jax.device_get(register_device(bad, cfg))
+    assert np.isnan(float(res.error))          # infectious, not dropped
+    assert bool(res.converged)                 # froze immediately
+    assert int(res.outer_iters) <= 2
+    with pytest.raises(FloatingPointError):
+        adapt_device_result(res, pair.n_data, 0.0)

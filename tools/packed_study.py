@@ -1,0 +1,60 @@
+"""Packed vs fused stream on the 64-pair bench workload (real chip).
+
+Sweeps (width, packed_slots); golden parity asserted per run by the
+bench's own checker.  Run ALONE (one TPU process; idle host CPUs —
+contention skews walls ~1.8x).
+
+  timeout 560 env PYTHONPATH=/root/repo:/root/.axon_site \
+      python tools/packed_study.py [fused|WxS ...]
+e.g. python tools/packed_study.py fused 8x8 16x8 16x16
+"""
+
+import dataclasses
+import json
+import sys
+import time
+
+REF = "/root/reference"
+
+
+def main():
+    import numpy as np
+    from goicp_tpu.bench.measure import (build_batch, _check_parity,
+                                         BATCH, FUSED_CHUNK)
+    from goicp_tpu.config import GoICPConfig
+    from goicp_tpu.search.fused_stream import register_fused_stream
+    from goicp_tpu.search.packed_stream import register_packed_stream
+
+    base = GoICPConfig.from_file(f"{REF}/config.txt")
+    cfg = dataclasses.replace(base, rot_batch=1, trans_capacity=128,
+                              trans_pop=8, icp_seeds=4, margin_frac=0.9)
+    pairs = build_batch(cfg, BATCH)
+
+    runs = sys.argv[1:] or ["fused", "8x8", "16x8", "16x16", "32x16"]
+    for spec in runs:
+        if spec == "fused":
+            run = lambda: register_fused_stream(pairs, cfg, width=2,
+                                                chunk_steps=FUSED_CHUNK)
+            tag = {"engine": "fused", "width": 2}
+        else:
+            w, s = (int(x) for x in spec.split("x"))
+            cfgp = dataclasses.replace(cfg, packed_slots=s)
+            run = (lambda cfgp=cfgp, w=w:
+                   register_packed_stream(pairs, cfgp, width=w,
+                                          chunk_steps=FUSED_CHUNK))
+            tag = {"engine": "packed", "width": w, "slots": s}
+        out = run()                                   # warm + parity
+        _check_parity(out, cfg, pairs)
+        t0 = time.time()
+        out = run()
+        wall = time.time() - t0
+        _check_parity(out, cfg, pairs)
+        evals = int(np.sum(np.asarray(out.evals)))
+        print(json.dumps(dict(tag, wall_s=round(wall, 2),
+                              pairs_per_s=round(BATCH / wall, 3),
+                              evals=evals,
+                              evals_per_s=int(evals / wall))), flush=True)
+
+
+if __name__ == "__main__":
+    main()
