@@ -127,12 +127,20 @@ def supports_geom(size: int, c_pad: int, n_norm: int) -> bool:
 # kernel bodies
 # ---------------------------------------------------------------------------
 
-def _voxelize(pos, consts_ref, size_f):
+def _cread(consts_ref, k: int, lane_tables: bool = False):
+    """Scalar read from the SMEM consts row: shared path carries (1,8),
+    the per-lane-table path (1,1,8) (Mosaic requires full-size trailing
+    block dims, so an (L,8) operand cannot take (1,8) blocks)."""
+    return consts_ref[0, 0, k] if lane_tables else consts_ref[0, k]
+
+
+def _voxelize(pos, consts_ref, size_f, lane_tables: bool = False):
     """pos (3,T) world -> (raw (3,T) f32 int-valued, clamped (3,T) f32)."""
     lo = jnp.concatenate(
-        [consts_ref[0, 0].reshape(1, 1), consts_ref[0, 1].reshape(1, 1),
-         consts_ref[0, 2].reshape(1, 1)], axis=0)            # (3,1)
-    scale = consts_ref[0, 3]
+        [_cread(consts_ref, 0, lane_tables).reshape(1, 1),
+         _cread(consts_ref, 1, lane_tables).reshape(1, 1),
+         _cread(consts_ref, 2, lane_tables).reshape(1, 1)], axis=0)  # (3,1)
+    scale = _cread(consts_ref, 3, lane_tables)
     raw = jnp.trunc((pos - lo) * scale + 0.5)                # ROUND, f32
     clamped = jnp.clip(raw, 0.0, size_f - 1.0)
     return raw, clamped
@@ -279,23 +287,25 @@ def _geom_kernel(consts_ref, pts_ref, cen_ref, wid_ref, ru_ref, w_ref,
                  with_unc, fused, trim_k, trim_dynamic, lane_tables=False):
     # trim K: static Python constant, or traced from SMEM consts slot 5
     # (dynamic-counts mode — one compilation serves every inlier count)
-    k_f = consts_ref[0, 5] if trim_dynamic else jnp.float32(trim_k)
+    k_f = _cread(consts_ref, 5, lane_tables) if trim_dynamic \
+        else jnp.float32(trim_k)
     do_trim = trim_k or trim_dynamic
     t = bc * nd
     size_f = jnp.float32(size)
     p3 = pts_ref[0]                                          # (3, Nd)
     p_t = jnp.concatenate([p3] * bc, axis=1)                 # (3, T)
-    w_t = jnp.concatenate([w_ref[:]] * bc, axis=1)           # (1, T)
+    w_t = jnp.concatenate([w_ref[0] if lane_tables else w_ref[:]] * bc,
+                          axis=1)                            # (1, T)
     aug_g = cells_ref[0] if lane_tables else cells_ref[:]    # (Cp, 6)
     e, e_t = _segment_mats(t, bc, nd)
 
     cen_seg = _expand_seg(cen_ref[0, 0], nd)                 # (3, T)
     pos = p_t + cen_seg
-    raw, clamped = _voxelize(pos, consts_ref, size_f)
+    raw, clamped = _voxelize(pos, consts_ref, size_f, lane_tables)
     # min d2 over occupied cells, chunked (no argmin key: geometry only
     # needs the distance, so the 2^24 key gate does not apply here)
     d2 = _min_d2(clamped, aug_g)
-    scale = consts_ref[0, 3]
+    scale = _cread(consts_ref, 3, lane_tables)
     dist = jnp.sqrt(d2) / scale                              # (1, T)
     # out-of-bounds extension (DT3D::Distance, jly_3ddt.cpp:1156-1190)
     excess = jnp.where(raw < 0.0, raw,
@@ -390,7 +400,7 @@ def _chem_kernel(consts_ref, pts_ref, cor_ref, aug_ref, pp_ref,
     for grp in range(bc // g):
         cen = cor_ref[0, 0][:, grp * g:(grp + 1) * g]         # (3, g)
         pos = p_t + _expand_seg(cen, nd)
-        _, clamped = _voxelize(pos, consts_ref, size_f)
+        _, clamped = _voxelize(pos, consts_ref, size_f, lane_tables)
         m = jnp.min(_aug_dot(aug, clamped, -4.0 * stride, extra_rows=pp_t),
                     axis=0, keepdims=True)                    # (1, g*nd)
         # parity of the winning key = its cell's incompatibility bit
@@ -626,7 +636,7 @@ def geometric_bounds_kernel_lanes(pts_rot, centers, widths, rot_unc,
         kern,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 8), lambda i, k: (i, 0),
+            pl.BlockSpec((1, 1, 8), lambda i, k: (i, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 3, ndp), lambda i, k: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -636,7 +646,7 @@ def geometric_bounds_kernel_lanes(pts_rot, centers, widths, rot_unc,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, ndp), lambda i, k: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ndp), lambda i, k: (i, 0),
+            pl.BlockSpec((1, 1, ndp), lambda i, k: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c_pad, 6), lambda i, k: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -646,7 +656,8 @@ def geometric_bounds_kernel_lanes(pts_rot, centers, widths, rot_unc,
         out_shape=[jax.ShapeDtypeStruct((l, k_chunks, 1, bc), jnp.float32)
                    ] * 3,
         interpret=interpret,
-    )(consts_lanes, pts_t, cen_r, wid_r, ru_r, w2, cells_aug)
+    )(consts_lanes[:, None, :], pts_t, cen_r, wid_r, ru_r, w2[:, None, :],
+      cells_aug)
     return tuple(o.reshape(l, b)[:, :b0] for o in outs)
 
 
@@ -762,7 +773,7 @@ def chem_incomp_kernel_lanes(pts_rot, corners, aug16, pp, consts_lanes, *,
         kern,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 8), lambda i, k: (i, 0),
+            pl.BlockSpec((1, 1, 8), lambda i, k: (i, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 3, ndp), lambda i, k: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -777,5 +788,5 @@ def chem_incomp_kernel_lanes(pts_rot, corners, aug16, pp, consts_lanes, *,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((l, k_chunks, 1, bc), jnp.float32),
         interpret=interpret,
-    )(consts_lanes, pts_t, cor_r, aug16, pp)
+    )(consts_lanes[:, None, :], pts_t, cor_r, aug16, pp)
     return out.reshape(l, qp)[:, :q]
