@@ -76,6 +76,17 @@ class GoICPConfig:
                                  # budget; search/packed_stream.py picks
                                  # the least-advanced live lanes across
                                  # every in-flight pair)
+    packed_trans_every: int = 8  # packed stream: outer-step transitions
+                                 # (harvest/ICP/adopt/pop) fire only every
+                                 # K global iterations — completed inner
+                                 # phases idle briefly while OTHER pairs'
+                                 # lanes use the slots, amortizing the
+                                 # transition block at wide windows; when
+                                 # live lanes can no longer fill the slots
+                                 # transitions fire every iteration, so a
+                                 # lone straggler pays no extra latency.
+                                 # Trajectories are unchanged (deferral
+                                 # does not alter any pair's own search)
     lane_compaction: int = 1     # 1 = staged inner-lane compaction
                                  # (L -> L/2 -> L/4): done lanes are gathered
                                  # out of the evaluated batch; bit-identical

@@ -48,6 +48,88 @@ def nn_correspondences(points: jnp.ndarray, model: jnp.ndarray):
     return idx, jnp.maximum(best, 0.0)
 
 
+def _jacobi_svd3(H: jnp.ndarray, sweeps: int = 6):
+    """One-sided Jacobi SVD of a 3x3 (or batched (...,3,3)) matrix:
+    H = U diag(sigma) V^T with V a proper rotation (product of Givens
+    rotations, det +1), sigma >= 0 (unsorted), U's columns orthonormal.
+
+    Why not jnp.linalg.svd: the TPU lowering of the general SVD costs
+    ~320 us PER CALL even at 3x3 (measured on v5e — ~100 tiny unfused
+    ops), and ICP runs one per sequential iteration; this closed-form
+    Jacobi is ~60 fully-fusable elementwise ops.  Six sweeps is double
+    the f32 convergence requirement for 3x3 (Jacobi is quadratically
+    convergent; 3 sweeps already reach ~1e-7)."""
+    A = H
+    V = jnp.broadcast_to(jnp.eye(3, dtype=H.dtype), H.shape)
+
+    def rot(A, V, p, q):
+        ap, aq = A[..., :, p], A[..., :, q]
+        app = jnp.sum(ap * ap, axis=-1)
+        aqq = jnp.sum(aq * aq, axis=-1)
+        apq = jnp.sum(ap * aq, axis=-1)
+        # Givens rotation zeroing the (p,q) column inner product
+        safe = jnp.abs(apq) > 1e-30
+        tau = (aqq - app) / jnp.where(safe, 2.0 * apq, 1.0)
+        t = jnp.where(
+            safe,
+            jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau)),
+            0.0)
+        c = 1.0 / jnp.sqrt(1.0 + t * t)
+        s = t * c
+
+        def apply(M):
+            mp, mq = M[..., :, p], M[..., :, q]
+            np_ = c[..., None] * mp - s[..., None] * mq
+            nq_ = s[..., None] * mp + c[..., None] * mq
+            return M.at[..., :, p].set(np_).at[..., :, q].set(nq_)
+
+        return apply(A), apply(V)
+
+    for _ in range(sweeps):
+        for p, q in ((0, 1), (0, 2), (1, 2)):
+            A, V = rot(A, V, p, q)
+    sigma = jnp.sqrt(jnp.sum(A * A, axis=-2))             # (..., 3)
+    # sort columns by sigma DESCENDING (3-element compare-swap network,
+    # applied jointly to A, V, sigma: H (V P) = (A P) stays valid and the
+    # det computation below uses actual determinants, so permutation
+    # parity needs no tracking)
+    for p, q in ((0, 1), (0, 2), (1, 2)):
+        swap = sigma[..., p] < sigma[..., q]
+        sw_c = swap[..., None]
+
+        def csw(M, p=p, q=q, sw=None):
+            mp, mq = M[..., :, p], M[..., :, q]
+            return (M.at[..., :, p].set(jnp.where(sw, mq, mp))
+                    .at[..., :, q].set(jnp.where(sw, mp, mq)))
+
+        A = csw(A, sw=sw_c)
+        V = csw(V, sw=sw_c)
+        sp, sq = sigma[..., p], sigma[..., q]
+        sigma = (sigma.at[..., p].set(jnp.where(swap, sq, sp))
+                 .at[..., q].set(jnp.where(swap, sp, sq)))
+    # normalized columns -> U; degenerate columns (sigma ~ 0) replaced by
+    # the cross-product completion so U stays orthonormal (right-handed
+    # completion; the det correction below handles the reflection case)
+    s1 = jnp.max(sigma, axis=-1, keepdims=True)
+    ok = sigma > 1e-5 * jnp.maximum(s1, 1e-30)
+    U = A / jnp.maximum(sigma, 1e-30)[..., None, :]
+    u0, u1, u2 = U[..., :, 0], U[..., :, 1], U[..., :, 2]
+    # branch-free orthonormal completion, smallest-sigma columns last in
+    # reliability order: u0 (largest sigma in practice — Jacobi leaves
+    # near-sorted columns) is trusted unless H ~ 0; a degenerate u1 is
+    # rebuilt orthogonal to u0 from the least-aligned basis vector; u2
+    # always from the cross product when its own column is degenerate.
+    e = (jnp.argmin(jnp.abs(u0), axis=-1)[..., None]
+         == jnp.arange(3)).astype(u0.dtype)
+    alt1 = jnp.cross(u0, e)
+    alt1 = alt1 / jnp.maximum(
+        jnp.linalg.norm(alt1, axis=-1, keepdims=True), 1e-30)
+    u1 = jnp.where(ok[..., 1:2], u1, alt1)
+    u2 = jnp.where(ok[..., 2:3], u2, jnp.cross(u0, u1))
+    U = jnp.stack([u0, u1, u2], axis=-1)
+    return U, sigma, V
+
+
 def kabsch(q_d: jnp.ndarray, q_m: jnp.ndarray, w: jnp.ndarray | None = None):
     """Best rotation R_ s.t. R_ @ q_d ~ q_m (centered inputs (N,3)); SVD with
     det correction (jly_icp3d.hpp:284-301). Optional per-row 0/1 weights."""
@@ -55,11 +137,35 @@ def kabsch(q_d: jnp.ndarray, q_m: jnp.ndarray, w: jnp.ndarray | None = None):
         q_d = q_d * w[:, None]
     H = jnp.dot(q_d.T, q_m, preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST)  # (3,3)
-    U, _, Vh = jnp.linalg.svd(H)
-    V = Vh.T
-    det = jnp.linalg.det(jnp.dot(V, U.T))
-    D = jnp.diag(jnp.array([1.0, 1.0, 1.0], jnp.float32)).at[2, 2].set(det)
-    return V @ D @ U.T
+    return kabsch_from_H(H)
+
+
+def kabsch_from_H(H: jnp.ndarray) -> jnp.ndarray:
+    """(..., 3, 3) correspondence matrix -> optimal rotation
+    R = V D U^T, D = diag(1,1,det(V U^T)) applied on the SMALLEST
+    singular direction (Kabsch/Umeyama; jly_icp3d.hpp:284-301).
+    Closed-form Jacobi SVD — see _jacobi_svd3.  H == 0 (no kept
+    correspondences) returns identity."""
+    import os
+    hmax = jnp.max(jnp.abs(H), axis=(-2, -1), keepdims=True)
+    Hn = H / jnp.maximum(hmax, 1e-30)          # scale-invariant
+    if os.environ.get("GOICP_KABSCH") == "svd":      # escape hatch
+        U, sigma, Vh = jnp.linalg.svd(Hn)
+        V = Vh.swapaxes(-1, -2)
+    else:
+        U, sigma, V = _jacobi_svd3(Hn)
+    def _det3(M):
+        return jnp.einsum("...i,...i->...", M[..., 0, :],
+                          jnp.cross(M[..., 1, :], M[..., 2, :]))
+
+    det = _det3(V) * _det3(U)          # det(V U^T), both orthonormal
+    # fold the det sign into the smallest singular direction
+    small = jnp.argmin(sigma, axis=-1)
+    d = jnp.where(jnp.arange(3) == small[..., None],
+                  det[..., None], 1.0)                    # (..., 3)
+    R = jnp.einsum("...ik,...k,...jk->...ij", V, d, U)
+    return jnp.where(hmax > 0, R,
+                     jnp.broadcast_to(jnp.eye(3, dtype=H.dtype), R.shape))
 
 
 @functools.partial(jax.jit,

@@ -24,8 +24,10 @@ work-conserving generalization of the straggler shape escalation asked
 for in VERDICT r3 (next-1).
 
 State packs into three bundles to keep the hot path's gather/scatter op
-count flat: sn (WL,C,5) nodes+lbs, ss (WL,16) scalars, pm (WL,Nd,4)
-rotated points + rot uncertainty.  Outer-step transitions unpack to the
+count flat: sn (W,L,C,5) nodes+lbs, ss (W,L,16) scalars, pm (W,L,Nd,4)
+rotated points + rot uncertainty (pair-major so the stream driver's
+window-refill row scatter stays valid; the hot loop reshapes to flat
+(W*L, ...) views, which is free).  Outer-step transitions unpack to the
 fused engine's layout and reuse its harvest/ICP/advance logic verbatim
 (they fire under a scalar cond, off the common path).
 
@@ -95,20 +97,16 @@ def _pack_inner(inner: dict, pts_rot, mrd, lane_it, lane_evals):
         lane_it[..., None], lane_evals[..., None],
         inner["best_node"], inner["ub_terms"],
         jnp.zeros((W, L, _SS_W - 13), jnp.float32)], axis=-1)
-    ndp = pts_rot.shape[-2]
+    del W, L, C
     pm = jnp.concatenate([pts_rot, mrd[..., None]], axis=-1)
-    return (sn.reshape(W * L, C, 5), ss.reshape(W * L, _SS_W),
-            pm.reshape(W * L, ndp, 4))
+    return sn, ss, pm
 
 
 def _inner_view(s: dict, W: int, L: int):
     """Packed bundles -> the fused engine's (W, L, ...) inner dict (plus
     pts_rot/mrd), for the transition path.  Pure reshapes/slices."""
-    C = s["sn"].shape[1]
-    ndp = s["pm"].shape[1]
-    sn = s["sn"].reshape(W, L, C, 5)
-    ss = s["ss"].reshape(W, L, _SS_W)
-    pm = s["pm"].reshape(W, L, ndp, 4)
+    del W, L
+    sn, ss, pm = s["sn"], s["ss"], s["pm"]
     inner = dict(
         nodes=sn[..., :4], lbs=sn[..., 4],
         opt_err=ss[..., _OPT], thr=ss[..., _THR],
@@ -317,7 +315,7 @@ def _transition(pair_batch: PairData, cfg: GoICPConfig, s: dict,
 
 
 def _pair_inner_done(s: dict, cfg: GoICPConfig, W: int, L: int):
-    ss = s["ss"].reshape(W, L, _SS_W)
+    ss = s["ss"]                                 # (W, L, _SS_W)
     lane_over = (ss[..., _DONE] > 0) \
         | (ss[..., _IT] >= cfg.inner_max_iters)
     return jnp.all(lane_over, axis=1)
@@ -336,36 +334,51 @@ def packed_run_chunk(pair_batch: PairData, cfg: GoICPConfig, state: dict,
         size = int(size)
     tabs = _pair_tables(pair_batch, cfg)
 
+    TE = max(1, cfg.packed_trans_every)
+
     def body(carry):
         s, g = carry
         live_pair = ~s["converged"] & (s["it"] < cfg.max_outer_steps)
-        need_trans = _pair_inner_done(s, cfg, W, L) & live_pair
+        # transition batching: fire the (expensive, vmapped-over-W)
+        # harvest/ICP/advance block only every TE iterations — completed
+        # phases idle while other pairs' lanes fill the slots — UNLESS
+        # live lanes can no longer fill the slot budget (endgame /
+        # straggler: then transition immediately, no added latency)
+        ss0f = s["ss"].reshape(WL, _SS_W)
+        lane_live0 = (ss0f[:, _DONE] == 0) \
+            & (ss0f[:, _IT] < cfg.inner_max_iters) \
+            & jnp.repeat(live_pair, L)
+        check = (g % TE == 0) | (jnp.sum(lane_live0) < S)
+        need_trans = _pair_inner_done(s, cfg, W, L) & live_pair & check
 
         s = jax.lax.cond(
             jnp.any(need_trans),
             lambda st: _transition(pair_batch, cfg, st, need_trans, W, L),
             lambda st: st, s)
 
-        # ---- slot selection: S least-advanced live lanes ----
-        ss = s["ss"]
+        # ---- slot selection: S least-advanced live lanes (flat views
+        # of the pair-major bundles; the reshapes are free) ----
+        C = s["sn"].shape[2]
+        ndp = s["pm"].shape[2]
+        snf = s["sn"].reshape(WL, C, 5)
+        ssf = s["ss"].reshape(WL, _SS_W)
+        pmf = s["pm"].reshape(WL, ndp, 4)
         live_pair2 = ~s["converged"] & (s["it"] < cfg.max_outer_steps)
-        lane_live = (ss[:, _DONE] == 0) \
-            & (ss[:, _IT] < cfg.inner_max_iters) \
+        lane_live = (ssf[:, _DONE] == 0) \
+            & (ssf[:, _IT] < cfg.inner_max_iters) \
             & jnp.repeat(live_pair2, L)
-        key = jnp.where(lane_live, ss[:, _IT], jnp.float32(2 ** 30))
+        key = jnp.where(lane_live, ssf[:, _IT], jnp.float32(2 ** 30))
         slots = jnp.argsort(key)[:S]                          # (S,)
         spair = slots // L
         live = lane_live[slots]
 
-        sn_s = s["sn"][slots]
-        ss_s = ss[slots]
-        pm_s = s["pm"][slots]
         sn_n, ss_n = _packed_iter(
-            cfg, size, sn_s, ss_s, pm_s, tabs["tab"][spair],
-            tabs["pside"][spair], tabs["cons"][spair], tabs["sse"][spair],
-            live)
-        s = dict(s, sn=s["sn"].at[slots].set(sn_n),
-                 ss=ss.at[slots].set(ss_n))
+            cfg, size, snf[slots], ssf[slots], pmf[slots],
+            tabs["tab"][spair], tabs["pside"][spair], tabs["cons"][spair],
+            tabs["sse"][spair], live)
+        s = dict(s,
+                 sn=snf.at[slots].set(sn_n).reshape(s["sn"].shape),
+                 ss=ssf.at[slots].set(ss_n).reshape(s["ss"].shape))
         return (s, g + 1)
 
     def cond(carry):
@@ -389,8 +402,7 @@ def packed_finalize(state: dict) -> DeviceResult:
     res = fs.fused_finalize(fstate)
     # inner_iters: total lane-iterations (the packed work metric) =
     # retired phases (accumulated at transitions) + in-flight lanes
-    ss = state["ss"].reshape(W, L, _SS_W)
-    inflight = jnp.sum(ss[..., _IT], axis=1).astype(jnp.int32)
+    inflight = jnp.sum(state["ss"][..., _IT], axis=1).astype(jnp.int32)
     return res._replace(inner_iters=res.inner_iters + inflight)
 
 

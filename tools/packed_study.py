@@ -32,17 +32,28 @@ def main():
 
     runs = sys.argv[1:] or ["fused", "8x8", "16x8", "16x16", "32x16"]
     for spec in runs:
+        import os
+        chunk_count = [0]
+        prog = (lambda d: chunk_count.__setitem__(0, d["chunk"])) \
+            if os.environ.get("PACKED_PROGRESS") else None
         if spec == "fused":
             run = lambda: register_fused_stream(pairs, cfg, width=2,
-                                                chunk_steps=FUSED_CHUNK)
+                                                chunk_steps=FUSED_CHUNK,
+                                                progress=prog)
             tag = {"engine": "fused", "width": 2}
         else:
-            w, s = (int(x) for x in spec.split("x"))
-            cfgp = dataclasses.replace(cfg, packed_slots=s)
+            parts = spec.split("x")
+            w, s = int(parts[0]), int(parts[1])
+            te = int(parts[2]) if len(parts) > 2 else 8
+            sd = int(parts[3]) if len(parts) > 3 else 4
+            cfgp = dataclasses.replace(cfg, packed_slots=s,
+                                       packed_trans_every=te, icp_seeds=sd)
             run = (lambda cfgp=cfgp, w=w:
                    register_packed_stream(pairs, cfgp, width=w,
-                                          chunk_steps=FUSED_CHUNK))
-            tag = {"engine": "packed", "width": w, "slots": s}
+                                          chunk_steps=FUSED_CHUNK,
+                                          progress=prog))
+            tag = {"engine": "packed", "width": w, "slots": s,
+                   "te": te, "seeds": sd}
         out = run()                                   # warm + parity
         _check_parity(out, cfg, pairs)
         t0 = time.time()
@@ -52,7 +63,7 @@ def main():
         evals = int(np.sum(np.asarray(out.evals)))
         print(json.dumps(dict(tag, wall_s=round(wall, 2),
                               pairs_per_s=round(BATCH / wall, 3),
-                              evals=evals,
+                              evals=evals, chunks=chunk_count[0],
                               evals_per_s=int(evals / wall))), flush=True)
 
 
