@@ -17,21 +17,29 @@ from goicp_tpu.io.xyz import read_point_cloud
 from goicp_tpu.pipeline.prepare import prepare_pair
 from goicp_tpu.search.outer import RegistrationResult, register
 
-# the demo's config: plain Go-ICP, no chem terms.  Search shape tuned on
-# v5e for the S=300 grid (XLA gather bound path): wide translation pops with
-# a narrow rotation batch converge the bunny in ~8 outer steps / 1.3 s vs
-# the reference's 12.365 s golden (demo/output.txt:1).
+# the demo's config: plain Go-ICP, no chem terms.  Search shape re-tuned
+# on v5e in round 4 for the S=300 grid (XLA gather bound path, outside the
+# Pallas cell envelope): 9 outer steps / 856 bound evals / 0.58 s warm on
+# the device engine vs the reference's 12.365 s golden (demo/output.txt:1).
+# icp_on_improve=0 matters here: with batched pops the best-of-batch ub
+# improves rarely, so gated ICP starves and the search grinds ~1M evals
+# (measured 173 outer steps / 83 s); ungated, the per-step ICP lands in
+# the global basin by step ~3 (the reference fires ICP at single-node
+# granularity, jly_goicp.cpp:771-854, so its gating never starves).
+# icp_seeds stays 1: multi-seed vmapped ICP over the 35,947-point model
+# triggered a v5e TPU-worker kernel fault (batched-gather instability,
+# see ARCHITECTURE.md); single-seed is stable.
 DEMO_CONFIG = GoICPConfig(
     MSEThresh=0.001, regularization=0.0, regularizationNeighbors=0.0,
     ponderation=0, cfpfh=0, regularizationFPFH=0.0,
     trimFraction=0.0, distTransSize=300, distTransExpandFactor=2.0,
-    rot_batch=4, trans_pop=32, trans_capacity=256)
+    rot_batch=2, trans_pop=8, trans_capacity=128, icp_on_improve=0)
 
 
 def run_demo(model_file: str, data_file: str, nd_downsampled: int = 1000,
              cfg: GoICPConfig | None = None, output_file: str | None = None,
              verbose: bool = False,
-             engine: str = "host") -> RegistrationResult:
+             engine: str = "device") -> RegistrationResult:
     cfg = cfg or DEMO_CONFIG
     model, _ = read_point_cloud(model_file)
     data, _ = read_point_cloud(data_file)
