@@ -223,59 +223,48 @@ def _expand_seg(v, nd: int):
     return jnp.broadcast_to(v[:, :, None], (r, bc, nd)).reshape(r, bc * nd)
 
 
-def _segment_mats(t: int, bc: int, nd: int):
-    """E (bc,T) selecting each node's point segment, and E_T (T,bc)."""
-    rows = jax.lax.broadcasted_iota(jnp.int32, (bc, t), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (bc, t), 1)
-    e = (cols // nd == rows).astype(jnp.float32)
-    rows_t = jax.lax.broadcasted_iota(jnp.int32, (t, bc), 0)
-    cols_t = jax.lax.broadcasted_iota(jnp.int32, (t, bc), 1)
-    e_t = (rows_t // nd == cols_t).astype(jnp.float32)
-    return e, e_t
-
-
-def _kth_select(vals, e, e_t, k_f):
+def _kth_select(vals, bc: int, nd: int, k_f):
     """Per-node K-smallest selection without sorting (intro_select
     analogue, jly_sorting.hpp:229).
 
-    vals (1,T): per-point values with padding pushed to a huge sentinel.
+    vals (R,T): R independent rows of per-point values with padding
+    pushed to a huge sentinel (the fused trimmed path batches its TWO
+    selections — dis and disu — as R=2 rows of ONE bisection, halving
+    the per-step fixed cost).
     k_f: the K as an f32 scalar — a Python constant (static trim) or a
     traced SMEM value (dynamic-counts trim).
-    Finds each node's K-th smallest value t* by 31-step bisection over the
-    (monotonic for non-negative f32) bit space, exactly.  Returns
-    (sel (1,T) 0/1 indicator of vals <= t*, surplus (1,bc) = count(sel)-K,
-    t_star (1,bc)).  The surplus elements all equal t*, so a caller sums
-    g(vals)*sel - surplus*g(t*) to reproduce the exact trimmed sum of any
-    per-element transform g.
-    """
-    bc = e.shape[0]
-    nd = e.shape[1] // bc
+    Finds each (row, node)'s K-th smallest value t* by 31-step bisection
+    over the (monotonic for non-negative f32) bit space, exactly.
+    Returns (sel (R,T) 0/1 indicator of vals <= t*, surplus (R,bc) =
+    count(sel)-K, t_star (R,bc)).  The surplus elements all equal t*, so
+    a caller sums g(vals)*sel - surplus*g(t*) to reproduce the exact
+    trimmed sum of any per-element transform g.
 
-    def seg_sum(v):
-        # summands are 0/1 indicators: every product is exact even under
-        # the default 1-pass-bf16 MXU, and f32 accumulation of integer
-        # counts < 2^24 is exact
-        return jax.lax.dot_general(
-            v, e_t, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+    Counts are VPU lane row-sums over the (R,bc,nd) reshape (exact
+    integer accumulation) — the round-3 formulation's per-step 0/1 count
+    MATMUL was ~4x slower (62 MXU dots per trimmed fused evaluation)."""
+    r = vals.shape[0]
 
-    def expand(v):                                            # (1,bc)->(1,T)
+    def count(sel):                                          # (R,T)->(R,bc)
+        return jnp.sum(sel.reshape(r, bc, nd), axis=2)
+
+    def expand(v):                                           # (R,bc)->(R,T)
         return _expand_seg(v, nd)
 
     def bisect_body(_, lohi):
         lo, hi = lohi
         mid = lo + (hi - lo) // 2
         t_seg = expand(pltpu.bitcast(mid, jnp.float32))
-        cnt = seg_sum((vals <= t_seg).astype(jnp.float32))
+        cnt = count((vals <= t_seg).astype(jnp.float32))
         ge_k = cnt >= k_f
         return (jnp.where(ge_k, lo, mid + 1), jnp.where(ge_k, mid, hi))
 
-    lo0 = jnp.zeros((1, bc), jnp.int32)
-    hi0 = jnp.full((1, bc), 0x7F7FFFFF, jnp.int32)
+    lo0 = jnp.zeros((r, bc), jnp.int32)
+    hi0 = jnp.full((r, bc), 0x7F7FFFFF, jnp.int32)
     _, hi = jax.lax.fori_loop(0, 31, bisect_body, (lo0, hi0))
-    t_star = pltpu.bitcast(hi, jnp.float32)                   # (1,bc)
+    t_star = pltpu.bitcast(hi, jnp.float32)                   # (R,bc)
     sel = (vals <= expand(t_star)).astype(jnp.float32)
-    surplus = seg_sum(sel) - k_f
+    surplus = count(sel) - k_f
     return sel, surplus, t_star
 
 
@@ -297,8 +286,7 @@ def _geom_kernel(consts_ref, pts_ref, cen_ref, wid_ref, ru_ref, w_ref,
     w_t = jnp.concatenate([w_ref[0] if lane_tables else w_ref[:]] * bc,
                           axis=1)                            # (1, T)
     aug_g = cells_ref[0] if lane_tables else cells_ref[:]    # (Cp, 6)
-    e, e_t = _segment_mats(t, bc, nd)
-
+    del t
     cen_seg = _expand_seg(cen_ref[0, 0], nd)                 # (3, T)
     pos = p_t + cen_seg
     raw, clamped = _voxelize(pos, consts_ref, size_f, lane_tables)
@@ -334,7 +322,7 @@ def _geom_kernel(consts_ref, pts_ref, cen_ref, wid_ref, ru_ref, w_ref,
         lb transform g(x) = f(max(x - s3w, 0)) is monotone in x, so the
         K-smallest set is shared and the boundary correction uses g(t*)."""
         vm = jnp.where(mask, v, _TRIM_SENTINEL)
-        sel, surplus, t_star = _kth_select(vm, e, e_t, k_f)
+        sel, surplus, t_star = _kth_select(vm, bc, nd, k_f)
         ub = seg_sum(f(v) * sel) - surplus * f(t_star)
         lb_all = jnp.maximum(v - s3w_seg, 0.0)
         lb_t = jnp.maximum(t_star - s3w_node, 0.0)
@@ -348,10 +336,22 @@ def _geom_kernel(consts_ref, pts_ref, cen_ref, wid_ref, ru_ref, w_ref,
         ru_t = jnp.concatenate([ru_ref[0]] * bc, axis=1)
         disu = jnp.maximum(dis - ru_t, 0.0)
         if do_trim:
-            dm = jnp.where(mask, dis, _TRIM_SENTINEL)
-            sel, surplus, t_star = _kth_select(dm, e, e_t, k_f)
-            ub_ref[0, 0] = seg_sum(f(dis) * sel) - surplus * f(t_star)
-            ubu_ref[0, 0], lbu_ref[0, 0] = trimmed(disu, s3w_seg, s3w_node)
+            # ONE bisection selects both passes' inlier sets: row 0 =
+            # plain dis (the ub pass), row 1 = uncertainty-adjusted disu
+            # (the lb pass) — each pass intro_selects its own distances
+            # in the reference (jly_goicp.cpp:384-390)
+            vm = jnp.concatenate(
+                [jnp.where(mask, dis, _TRIM_SENTINEL),
+                 jnp.where(mask, disu, _TRIM_SENTINEL)], axis=0)
+            sel, surplus, t_star = _kth_select(vm, bc, nd, k_f)
+            sel0, sel1 = sel[0:1], sel[1:2]
+            sur0, sur1 = surplus[0:1], surplus[1:2]
+            ts0, ts1 = t_star[0:1], t_star[1:2]
+            ub_ref[0, 0] = seg_sum(f(dis) * sel0) - sur0 * f(ts0)
+            ubu_ref[0, 0] = seg_sum(f(disu) * sel1) - sur1 * f(ts1)
+            lb_all = jnp.maximum(disu - s3w_seg, 0.0)
+            lb_t = jnp.maximum(ts1 - s3w_node, 0.0)
+            lbu_ref[0, 0] = seg_sum(f(lb_all) * sel1) - sur1 * f(lb_t)
         else:
             lbd = jnp.maximum(disu - s3w_seg, 0.0)
             ub_ref[0, 0] = seg_sum(f(dis))
