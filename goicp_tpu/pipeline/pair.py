@@ -159,6 +159,28 @@ def run_pair(model_file: str, data_file: str, cfg: GoICPConfig,
 
     engine: "host" (streaming outer loop, checkpointable, verbose logs) or
     "device" (the whole search as one XLA program — fastest on TPU)."""
+    if verbose:
+        # console echo of config + inputs (the reference's parseInput /
+        # readConfig prints, jly_main.cpp:221-269)
+        import dataclasses as _dc
+        print("CONFIG:")
+        ref_keys = ("MSEThresh", "norm", "regularization",
+                    "regularizationNeighbors", "ponderation", "cfpfh",
+                    "regularizationFPFH", "rotMinX", "rotMinY", "rotMinZ",
+                    "rotWidth", "transMinX", "transMinY", "transMinZ",
+                    "transWidth", "trimFraction", "distTransSize",
+                    "distTransExpandFactor")
+        d = _dc.asdict(cfg)
+        for k in ref_keys:
+            print(f"({k})->({d[k]})")
+        print()
+        print("INPUT:")
+        print(f"(modelFName)->({model_file})")
+        print(f"(dataFName)->({data_file})")
+        print(f"(NdDownsampled)->({nd_downsampled})")
+        print(f"(outputFName)->({output_file})")
+        print(f"(pair)->({pair_id})")
+        print()
     inputs = load_pair_inputs(model_file, data_file, cfg, pair_id=pair_id,
                               out_dir=out_dir, cfpfh_dir=cfpfh_dir,
                               write_normalized=write_normalized)

@@ -196,91 +196,19 @@ def register_device_batch_compact(pairs, cfg: GoICPConfig,
                           for f in DeviceResult._fields))
 
 
-@functools.lru_cache(maxsize=8)
-def _row_scatter():
-    """jit'd: write a width-1 state pytree into row `row` of a batch state."""
-    return jax.jit(lambda state, row, sub: jax.tree_util.tree_map(
-        lambda a, b: a.at[row].set(b[0]), state, sub))
-
-
 def register_device_stream(pairs, cfg: GoICPConfig, width: int = 8,
                            chunk_steps: int = 32):
-    """Continuous-batching registration: a fixed-width window of searches
-    advances in chunks; converged pairs retire and FRESH pairs refill their
-    rows immediately.
-
-    vmapped batching couples the while_loop across pairs — a chunk costs
-    max(inner iterations) over the window, so one slow pair stalls the
-    other rows' progress-per-wall.  A fixed small window bounds that
-    coupling while keeping the chip busy, and refilling keeps width
-    constant over an arbitrarily long pair stream (the BO1 sweep / serving
-    shape).  Exactly THREE compilations (init/chunk/finalize at `width`,
-    plus a width-1 init for refills) serve any number of pairs.
+    """Round-2 lockstep stream, RETIRED as an engine (VERDICT r3 next-6):
+    now a thin adapter over the cross-pair fused stream
+    (search/fused_stream.register_fused_stream), which supersedes it —
+    same continuous-batching window/refill contract and per-pair results
+    identical to register_device, WITHOUT the lockstep coupling (a chunk
+    of the old engine cost max-over-window inner iterations per outer
+    step).  Kept so round-2 call sites and the equality tests against
+    the device engine keep running on one shared implementation.
 
     Returns DeviceResult with the batch axis in original pair order.
     """
-    from goicp_tpu.dist.mesh import stack_pairs
-
-    B = len(pairs)
-    width = min(width, B)
-    stacked_all = stack_pairs(list(pairs))
-
-    rows_orig = list(range(width))          # row -> original pair index
-    next_pair = width
-    done: dict[int, DeviceResult] = {}
-
-    cur_pair = _take(stacked_all, np.arange(width))
-    state = _binit(cfg)(cur_pair)
-    dead = [False] * width                  # rows with no pair (drained)
-
-    while True:
-        state = _bchunk(cfg)(cur_pair, state, np.int32(chunk_steps))
-        conv = np.asarray(state["converged"])
-        its = np.asarray(state["it"])
-        finished = conv | (its >= cfg.max_outer_steps)
-
-        if all(finished[r] or dead[r] for r in range(width)):
-            res = jax.device_get(_bfin()(state))
-            for r in range(width):
-                if not dead[r] and rows_orig[r] not in done:
-                    done[rows_orig[r]] = jax.tree_util.tree_map(
-                        lambda x: x[r], res)
-            if next_pair >= B:
-                break
-            # whole window drained but pairs remain: refill all rows
-            n = min(width, B - next_pair)
-            idx = np.array([next_pair + i if i < n else next_pair
-                            for i in range(width)])
-            rows_orig = list(idx)
-            dead = [i >= n for i in range(width)]
-            next_pair += n
-            cur_pair = _take(stacked_all, idx)
-            state = _binit(cfg)(cur_pair)
-            continue
-
-        retired = [r for r in range(width)
-                   if finished[r] and not dead[r]]
-        if retired:
-            res = jax.device_get(_bfin()(state))
-            for r in retired:
-                if rows_orig[r] not in done:
-                    done[rows_orig[r]] = jax.tree_util.tree_map(
-                        lambda x: x[r], res)
-                if next_pair < B:           # refill the row with a new pair
-                    idx = np.asarray(
-                        [next_pair if i == r else
-                         (rows_orig[i] if not dead[i] else 0)
-                         for i in range(width)])
-                    cur_pair = _take(stacked_all, idx)
-                    sub_pair = _take(stacked_all, np.asarray([next_pair]))
-                    sub_state = _binit(cfg)(sub_pair)
-                    state = _row_scatter()(state, r, sub_state)
-                    rows_orig[r] = next_pair
-                    next_pair += 1
-                else:                       # no refill: park the row
-                    dead[r] = True
-
-    rows = [done[i] for i in range(B)]
-    return DeviceResult(*(np.stack([np.asarray(getattr(r, f))
-                                    for r in rows])
-                          for f in DeviceResult._fields))
+    from goicp_tpu.search.fused_stream import register_fused_stream
+    return register_fused_stream(pairs, cfg, width=width,
+                                 chunk_steps=max(chunk_steps, 64))

@@ -86,12 +86,19 @@ def _presplit_root(cfg: GoICPConfig, n_shards: int) -> np.ndarray:
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "mesh",
-                                             "rebalance_every"))
+                                             "rebalance_every", "stats"))
 def register_device_sharded(pair: PairData, cfg: GoICPConfig, mesh,
-                            rebalance_every: int = 4) -> DeviceResult:
+                            rebalance_every: int = 4,
+                            stats: bool = False) -> DeviceResult:
     """Register one pair with the rotation frontier sharded over the mesh's
     `search` axis.  rebalance_every=0 disables rebalancing (pure static
     subtree partitioning — the comparison baseline for the cadence tests).
+
+    stats=True additionally returns (result, pop_quality): the fraction
+    of expanded pops whose lb lies within the GLOBAL top n*Pr of the
+    union of local frontiers at pop time — the best-first-quality metric
+    of the cadence/imbalance trade-off (costs one instrumentation-only
+    all_gather of Pr lbs per step; see tools/multichip_study.py).
     """
     if not cfg.fused_inner:
         raise ValueError("sharded engine requires fused_inner=1")
@@ -131,6 +138,7 @@ def register_device_sharded(pair: PairData, cfg: GoICPConfig, mesh,
             it=jnp.int32(0), evals=jnp.int32(0), inner_it=jnp.int32(0),
             icp_runs=jnp.int32(1),
             converged=jnp.bool_(False), final_lb=jnp.float32(0.0),
+            good_pops=jnp.int32(0), tot_pops=jnp.int32(0),
         )
 
         def cond(s):
@@ -153,6 +161,19 @@ def register_device_sharded(pair: PairData, cfg: GoICPConfig, mesh,
             fr_nodes_rest = s["fr_nodes"][Pr:]
             expand = jnp.isfinite(pop_lb) \
                 & (s["opt_err"] - pop_lb > sse) & ~converged   # (Pr,)
+
+            if stats:
+                # global top-(n*Pr) threshold over the union of local
+                # frontiers: each device's top n*Pr prefix suffices (the
+                # global top n*Pr can draw at most n*Pr entries from any
+                # one device), so tau is exact
+                pre = s["fr_lbs"][:min(n * Pr, Cr)]
+                g_pre = jax.lax.all_gather(pre, AXIS).reshape(-1)
+                tau = jnp.sort(g_pre)[n * Pr - 1]
+                good = jnp.sum((pop_lb <= tau) & expand)
+                tot = jnp.sum(expand)
+            else:
+                good = tot = jnp.int32(0)
 
             # ---- expand 8 children per parent, pi-ball filter ----
             cw = parents[:, 3:4] / 2.0
@@ -268,6 +289,8 @@ def register_device_sharded(pair: PairData, cfg: GoICPConfig, mesh,
                     if cfg.icp_on_improve else jnp.int32(1), 0),
                 converged=s["converged"] | converged,
                 final_lb=final_lb,
+                good_pops=s["good_pops"] + keep(good.astype(jnp.int32), 0),
+                tot_pops=s["tot_pops"] + keep(tot.astype(jnp.int32), 0),
             )
 
         s = jax.lax.while_loop(cond, body, state0)
@@ -279,18 +302,27 @@ def register_device_sharded(pair: PairData, cfg: GoICPConfig, mesh,
             s["opt_err"])
         gap = jnp.maximum(0.0, s["opt_err"] - bound)
         evals = jax.lax.psum(s["evals"], AXIS)
-        return DeviceResult(
+        res = DeviceResult(
             error=s["opt_err"], R=s["opt_R"], t=s["opt_t"],
             opt_comp=s["comp"], terms=s["terms"], last_icp=s["last_icp"],
             outer_iters=s["it"], evals=evals, gap=gap,
             converged=s["converged"],
             inner_iters=jax.lax.pmax(s["inner_it"], AXIS),
             icp_runs=jax.lax.psum(s["icp_runs"], AXIS))
+        if stats:
+            good = jax.lax.psum(s["good_pops"], AXIS)
+            tot = jax.lax.psum(s["tot_pops"], AXIS)
+            return res, good.astype(jnp.float32) / jnp.maximum(
+                tot.astype(jnp.float32), 1.0)
+        return res
 
     shard_map, rep_kw = _shard_map()
     from jax.sharding import PartitionSpec as P
+    out_specs = DeviceResult(*([P()] * 12))
+    if stats:
+        out_specs = (out_specs, P())
     fn = shard_map(shard_fn, mesh=mesh,
                    in_specs=(P(),),
-                   out_specs=DeviceResult(*([P()] * 12)),
+                   out_specs=out_specs,
                    **rep_kw)
     return fn(pair)
