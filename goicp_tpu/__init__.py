@@ -43,6 +43,15 @@ def _enable_xla_cache() -> None:
         _os.path.join(_os.path.expanduser("~"), ".cache", "goicp_tpu_xla"))
     if not path:
         return
+    if (_os.environ.get("JAX_PLATFORMS", "").split(",")[0] or "") == "cpu":
+        # XLA:CPU AOT cache entries are NOT reliable on this fleet: the VM
+        # migrates between host generations, and entries whose target
+        # features mismatch the current host have produced hard SIGSEGVs
+        # inside both cache writes and reads (observed twice, including
+        # entries written earlier in the same session).  The CPU backend
+        # (tests) recompiles instead; the TPU cache — the actual
+        # multi-minute win — keys on device code and stays enabled.
+        return
     # segregate by platform/flags WITHOUT initializing a backend (reading
     # jax.default_backend() here would claim the TPU at import time):
     # entries compiled for another machine type must never be served (XLA

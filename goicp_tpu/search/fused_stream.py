@@ -453,7 +453,7 @@ def register_fused_stream(pairs, cfg: GoICPConfig, width: int = 8,
                           checkpoint_path: str | None = None,
                           resume: bool = False,
                           max_chunks: int | None = None,
-                          mesh=None):
+                          mesh=None, checkpoint_every: int = 1):
     """Continuous-batching registration over the fused engine: a window of
     `width` pairs advances in chunks of `chunk_steps` GLOBAL iterations;
     converged pairs retire at chunk boundaries and fresh pairs refill
@@ -481,16 +481,23 @@ def register_fused_stream(pairs, cfg: GoICPConfig, width: int = 8,
                           max_chunks=max_chunks, mesh=mesh,
                           init_fn=_jit_init, run_chunk=fused_run_chunk,
                           finalize=fused_finalize,
-                          inflight_fn=_fused_inflight_np)
+                          inflight_fn=_fused_inflight_np,
+                          checkpoint_every=checkpoint_every)
 
 
 def _stream_driver(pairs, cfg: GoICPConfig, width, chunk_steps, progress,
                    checkpoint_path, resume, max_chunks, mesh,
-                   init_fn, run_chunk, finalize, inflight_fn=None):
+                   init_fn, run_chunk, finalize, inflight_fn=None,
+                   checkpoint_every: int = 1):
     """Engine-generic continuous-batching host loop (window refill,
     checkpoint/resume, progress) shared by the fused and packed streams.
     init_fn(cfg) -> jitted batch init; run_chunk(pair_batch, cfg, state,
-    steps) -> state; finalize(state) -> DeviceResult batch."""
+    steps) -> state; finalize(state) -> DeviceResult batch.
+
+    checkpoint_every: chunks between on-disk state saves (each save
+    device_gets the whole window state — ~0.3 s through the axon tunnel;
+    long sweeps trade a coarser resume point for that overhead).  The
+    state is ALWAYS saved before a max_chunks abort."""
     from goicp_tpu.dist.mesh import stack_pairs
     import os
 
@@ -587,12 +594,14 @@ def _stream_driver(pairs, cfg: GoICPConfig, width, chunk_steps, progress,
                         dead[r] = True
 
         # the tail runs on EVERY path (incl. a whole-window retire+refill):
-        # the on-disk checkpoint never lags the in-memory state, and
-        # max_chunks cannot overshoot by a chunk
-        if checkpoint_path:
+        # the on-disk checkpoint never lags the in-memory state by more
+        # than checkpoint_every chunks, and max_chunks cannot overshoot
+        hit_cap = max_chunks is not None and chunks >= max_chunks
+        if checkpoint_path and (chunks % max(checkpoint_every, 1) == 0
+                                or hit_cap):
             save_stream_state(checkpoint_path, state, rows_orig, dead,
                               next_pair, done)
-        if max_chunks is not None and chunks >= max_chunks:
+        if hit_cap:
             raise RuntimeError(
                 f"max_chunks={max_chunks} reached with "
                 f"{B - len(done)} pairs unfinished (state checkpointed)")

@@ -415,7 +415,8 @@ def register_packed_stream(pairs, cfg: GoICPConfig, width: int = 8,
                            chunk_steps: int = 256, progress=None,
                            checkpoint_path: str | None = None,
                            resume: bool = False,
-                           max_chunks: int | None = None):
+                           max_chunks: int | None = None,
+                           checkpoint_every: int = 1):
     """Continuous-batching driver over the packed engine (same windowing,
     checkpoint, and refill semantics as register_fused_stream)."""
     if not supports_packed(pairs[0], cfg):
@@ -427,4 +428,4 @@ def register_packed_stream(pairs, cfg: GoICPConfig, width: int = 8,
         progress=progress, checkpoint_path=checkpoint_path, resume=resume,
         max_chunks=max_chunks, mesh=None,
         init_fn=_jit_init, run_chunk=packed_run_chunk,
-        finalize=packed_finalize)
+        finalize=packed_finalize, checkpoint_every=checkpoint_every)

@@ -36,6 +36,10 @@ def main():
     ap.add_argument("--out", default=os.path.join(REPO, "sweep383.jsonl"))
     ap.add_argument("--ckpt", default=os.path.join(REPO, ".sweep383.npz"))
     ap.add_argument("--kill-after-chunks", type=int, default=None)
+    ap.add_argument("--verbose", action="store_true",
+                    help="per-chunk progress prints (each costs a window "
+                         "state device_get through the tunnel, ~0.25 s)")
+    ap.add_argument("--ckpt-every", type=int, default=8)
     args = ap.parse_args()
 
     from goicp_tpu.bench.measure import build_batch
@@ -67,7 +71,9 @@ def main():
         out = register_fused_stream(
             pairs, cfg, width=args.width, chunk_steps=args.chunk_steps,
             checkpoint_path=args.ckpt, resume=True,
-            max_chunks=args.kill_after_chunks, progress=progress)
+            max_chunks=args.kill_after_chunks,
+            progress=progress if args.verbose else None,
+            checkpoint_every=args.ckpt_every)
     except RuntimeError as e:
         print(f"KILLED (as requested): {e}", flush=True)
         return 3
