@@ -7,11 +7,14 @@
 
 TEST_ENV := PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8
 
+# per-file subprocesses with segfault retry: this host's XLA:CPU compiler
+# crashes sporadically (see tools/run_suite.py) and would kill a single
+# pytest process mid-suite
 test:
-	$(TEST_ENV) python -m pytest tests/ -x -q -m "not slow"
+	$(TEST_ENV) python tools/run_suite.py -m "not slow"
 
 test-all:
-	$(TEST_ENV) python -m pytest tests/ -x -q
+	$(TEST_ENV) python tools/run_suite.py
 
 native:
 	$(MAKE) -C goicp_tpu/native
