@@ -203,3 +203,70 @@ def test_geometric_kernel_chunked_cells_matches_xla():
                                rtol=0, atol=1e-5)
     np.testing.assert_allclose(np.asarray(lb_p), np.asarray(lb_x),
                                rtol=0, atol=1e-5)
+
+
+def test_lane_table_kernels_match_per_pair_kernels():
+    """The packed engine's per-LANE-table kernels (every lane may belong
+    to a different pair) must reproduce the per-pair kernels exactly,
+    lane for lane, on a mixed-pair lane batch."""
+    import jax.numpy as jnp
+
+    from goicp_tpu.bounds.pallas_eval import (
+        chem_incomp_kernel, chem_incomp_kernel_lanes, chem_tables,
+        geom_table, geometric_bounds_kernel, geometric_bounds_kernel_lanes)
+
+    cfg = GoICPConfig(regularization=0.0005, ponderation=1,
+                      distTransSize=12, trimFraction=0.1)
+    pairs = []
+    for seed in (1, 2):
+        r = np.random.default_rng(seed)
+        src = r.uniform(-0.7, 0.7, size=(37, 3))
+        tgt = r.uniform(-0.7, 0.7, size=(41 + seed, 3))
+        pairs.append(prepare_pair(
+            src, tgt, r.integers(0, 9, 37).astype(np.int32),
+            r.integers(0, 9, len(tgt)).astype(np.int32), cfg,
+            pad_data_to=64, pad_cells=64, pad_points=8, pad_model_to=64))
+    rng = np.random.default_rng(3)
+    L, B, Q = 4, 16, 54
+    lane_pair = [0, 1, 0, 1]
+    size = pairs[0].grid.geom.size
+    nd = pairs[0].n_data_padded
+    pts = jnp.asarray(rng.uniform(-0.9, 0.9, size=(L, nd, 3)), jnp.float32)
+    centers = jnp.asarray(rng.uniform(-0.5, 0.5, size=(L, B, 3)), jnp.float32)
+    widths = jnp.asarray(rng.uniform(0.05, 0.5, size=(L, B)), jnp.float32)
+    corners = jnp.asarray(rng.uniform(-0.6, 0.6, size=(L, Q, 3)), jnp.float32)
+    unc = jnp.asarray(rng.uniform(0, 0.3, size=(L, nd)), jnp.float32)
+
+    g6 = [geom_table(p.grid.cell_coords, size) for p in pairs]
+    ct = [chem_tables(p.grid.cell_coords, p.cell_compat, p.prop_onehot,
+                      p.data_mask, size) for p in pairs]
+    cons = [jnp.concatenate([p.grid.consts,
+                             jnp.asarray([p.inlier_f(), 0.0, 0.0])])
+            for p in pairs]
+
+    def gl(per_pair):
+        return jnp.stack([per_pair[i] for i in lane_pair])
+
+    got = geometric_bounds_kernel_lanes(
+        pts, centers, widths, unc, gl([p.weights for p in pairs]),
+        gl(g6), gl(cons), size=size, norm=2, trim=True, interpret=True)
+    cc = chem_incomp_kernel_lanes(
+        pts, corners, gl([a for a, _ in ct]), gl([p for _, p in ct]),
+        gl(cons), size=size, interpret=True)
+
+    for lane in range(L):
+        p = pairs[lane_pair[lane]]
+        want = geometric_bounds_kernel(
+            pts[lane:lane + 1], centers[lane:lane + 1],
+            widths[lane:lane + 1], unc[lane:lane + 1], p.weights,
+            p.grid.cell_coords, p.grid.consts, trim_count=p.inlier_f(),
+            size=size, norm=2, fused=True, interpret=True)
+        for a, b in zip(got, want):
+            np.testing.assert_array_equal(np.asarray(a[lane]),
+                                          np.asarray(b[0]))
+        want_c = chem_incomp_kernel(
+            pts[lane:lane + 1], corners[lane:lane + 1], p.cell_compat,
+            p.prop_onehot, p.data_mask, p.grid.cell_coords, p.grid.consts,
+            size=size, interpret=True)
+        np.testing.assert_array_equal(np.asarray(cc[lane]),
+                                      np.asarray(want_c[0]))
