@@ -59,7 +59,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 SQRT3 = float(np.sqrt(3.0))
-_BIG = float(2 ** 23)          # compat offset; keys stay < 2^24 (exact f32)
 _LANE = 128
 
 def _ceil_to(x: int, m: int) -> int:
