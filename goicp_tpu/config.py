@@ -91,6 +91,28 @@ class GoICPConfig:
                                  # (L -> L/2 -> L/4): done lanes are gathered
                                  # out of the evaluated batch; bit-identical
                                  # per-lane results, less masked work
+    sorted_merge: int = 0        # 1 = two-way rank merge for the frontier
+                                 # insert (argsort only the 8P children
+                                 # block + one pairwise comparison matrix
+                                 # against the already-sorted remainder)
+                                 # instead of argsorting all C+8P keys;
+                                 # output identical (tested) — a pure
+                                 # glue-cost experiment, flipped on only
+                                 # if the on-chip profile wins
+    chem_survivors: int = 0      # two-phase bound evaluation: 0 = chem corner
+                                 # terms for EVERY popped parent's 27-lattice
+                                 # (the reference evaluates chem
+                                 # unconditionally, jly_goicp.cpp:429-550);
+                                 # K>0 = evaluate geometry first, then chem
+                                 # ONLY for the K lowest-lb children per lane
+                                 # that survive the geometric lb against the
+                                 # incumbent (8 corners each).  Children past
+                                 # the budget keep their geometric lb — a
+                                 # valid lower bound — and cannot be adopted
+                                 # this iteration (ub = inf), so
+                                 # epsilon-optimality is unchanged; with
+                                 # K >= 8*trans_pop the trajectory is
+                                 # IDENTICAL to the lattice path (tested)
 
     # ---- derived (jly_main.cpp:258-262) ----
     @property

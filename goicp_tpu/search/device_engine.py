@@ -61,6 +61,11 @@ class DeviceResult(NamedTuple):
     icp_runs: jnp.ndarray     # actual ICP invocation events (the initial
                               # identity ICP + one per outer step that ran
                               # ICP); truthful counter for JSONL reporting
+    geom_surv: jnp.ndarray = 0   # children surviving the geometric lb vs
+                                 # the incumbent (two-phase chem candidate
+                                 # set size; see cfg.chem_survivors)
+    chem_corners: jnp.ndarray = 0  # chem corner evaluations issued
+                                   # (kernel volume)
 
 
 def _make_inner(cfg: GoICPConfig, mesh):
@@ -87,14 +92,17 @@ def _make_inner(cfg: GoICPConfig, mesh):
         res = inner_bnb(pair, cfg, pts, widths, active, inc,
                         with_rot_uncertainty=False, fused=True)
         # scalars differ per shard -> return as (1,) lane-ish arrays
-        return res._replace(iters=res.iters[None], evals=res.evals[None])
+        return res._replace(iters=res.iters[None], evals=res.evals[None],
+                            geom_surv=res.geom_surv[None],
+                            chem_corners=res.chem_corners[None])
 
     fn = shard_map(
         sharded, mesh=mesh,
         in_specs=(P(), P("search"), P("search"), P("search"), P()),
         out_specs=type(_dummy_inner_result())(
             best_err=P("search"), best_node=P("search"), lb_safe=P("search"),
-            ub_terms=P("search"), iters=P("search"), evals=P("search")),
+            ub_terms=P("search"), iters=P("search"), evals=P("search"),
+            geom_surv=P("search"), chem_corners=P("search")),
         # the while_loop carry mixes replicated inits with varying lane
         # state; skip the varying-manual-axes/replication check (correctness
         # is covered by the sharded-vs-unsharded equality test)
@@ -103,13 +111,15 @@ def _make_inner(cfg: GoICPConfig, mesh):
     def wrapped(pair, pts, widths, active, inc):
         res = fn(pair, pts, widths, active, inc)
         return res._replace(iters=jnp.max(res.iters),
-                            evals=jnp.sum(res.evals))
+                            evals=jnp.sum(res.evals),
+                            geom_surv=jnp.sum(res.geom_surv),
+                            chem_corners=jnp.sum(res.chem_corners))
     return wrapped
 
 
 def _dummy_inner_result():
     from goicp_tpu.search.inner import InnerResult
-    return InnerResult(*([None] * 6))
+    return InnerResult(*([None] * 8))
 
 
 def _initial_incumbent(pair: PairData, cfg: GoICPConfig):
@@ -197,6 +207,7 @@ def device_init(pair: PairData, cfg: GoICPConfig) -> dict:
         it=jnp.int32(0), evals=jnp.int32(0), inner_it=jnp.int32(0),
         icp_runs=jnp.int32(1),
         converged=jnp.bool_(False), final_lb=jnp.float32(0.0),
+        geom_surv=jnp.int32(0), chem_corners=jnp.int32(0),
     )
 
 
@@ -342,6 +353,12 @@ def _make_body(pair: PairData, cfg: GoICPConfig, inner):
             icp_runs=s["icp_runs"] + keep(
                 bnb_improved.astype(jnp.int32)
                 if cfg.icp_on_improve else jnp.int32(1), 0),
+            geom_surv=s["geom_surv"] + keep(
+                res_ub.geom_surv if cfg.fused_inner
+                else res_ub.geom_surv + res_lb.geom_surv, 0),
+            chem_corners=s["chem_corners"] + keep(
+                res_ub.chem_corners if cfg.fused_inner
+                else res_ub.chem_corners + res_lb.chem_corners, 0),
             converged=s["converged"] | converged,
             final_lb=final_lb,
         )
@@ -364,7 +381,9 @@ def device_finalize(state: dict) -> DeviceResult:
                         evals=s["evals"], gap=gap,
                         converged=s["converged"],
                         inner_iters=s["inner_it"],
-                        icp_runs=s["icp_runs"])
+                        icp_runs=s["icp_runs"],
+                        geom_surv=s["geom_surv"],
+                        chem_corners=s["chem_corners"])
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "mesh"))

@@ -69,6 +69,7 @@ def _inner_init(cfg: GoICPConfig, L: int, opt_err):
         min_dropped=jnp.full((L,), INF, jnp.float32),
         done=jnp.zeros((L,), bool),
         it=jnp.int32(0), evals=jnp.int32(0),
+        geom_surv=jnp.int32(0), chem_corners=jnp.int32(0),
     )
 
 
@@ -93,6 +94,7 @@ def fused_init(pair: PairData, cfg: GoICPConfig) -> dict:
         last_icp=better0, min_dropped=jnp.float32(INF),
         it=jnp.int32(0), evals=jnp.int32(0), inner_it=jnp.int32(0),
         icp_runs=jnp.int32(1),
+        geom_surv=jnp.int32(0), chem_corners=jnp.int32(0),
         converged=jnp.bool_(False), final_lb=jnp.float32(0.0),
         # in-flight pop context (filled by each transition)
         inner=inner0,
@@ -253,6 +255,9 @@ def _advance(pair: PairData, cfg: GoICPConfig, s: dict, h: dict, r: dict,
         icp_runs=s["icp_runs"] + keep(
             bnb_improved.astype(jnp.int32)
             if cfg.icp_on_improve else jnp.int32(1), jnp.int32(0)),
+        geom_surv=s["geom_surv"] + keep(ist["geom_surv"], jnp.int32(0)),
+        chem_corners=s["chem_corners"] + keep(ist["chem_corners"],
+                                              jnp.int32(0)),
         converged=jnp.where(mask, s["converged"] | converged,
                             s["converged"]),
         final_lb=keep(final_lb, s["final_lb"]),
@@ -377,7 +382,10 @@ def fused_finalize(state: dict) -> DeviceResult:
                         evals=s["evals"], gap=gap,
                         converged=s["converged"],
                         inner_iters=s["inner_it"],
-                        icp_runs=s["icp_runs"])
+                        icp_runs=s["icp_runs"],
+                        geom_surv=s["geom_surv"] + s["inner"]["geom_surv"],
+                        chem_corners=s["chem_corners"]
+                        + s["inner"]["chem_corners"])
 
 
 def _flatten_state(state: dict) -> dict:

@@ -35,7 +35,8 @@ from goicp_tpu.bounds.evaluate import (chem_bounds_from_lattice,
                                        chem_corner_values, geometric_bounds,
                                        geometric_bounds_fused,
                                        rot_uncertainty, _LATTICE_OFFSETS,
-                                       _CHILD_OFFSETS)
+                                       _CHILD_OFFSETS,
+                                       _CHILD_CORNER_TO_LATTICE)
 from goicp_tpu.config import GoICPConfig
 from goicp_tpu.pipeline.prepare import PairData
 
@@ -49,6 +50,12 @@ class InnerResult(NamedTuple):
     ub_terms: jnp.ndarray    # (L, 3) [geom, incomp, fpfh] of adopted ub
     iters: jnp.ndarray       # scalar iterations executed
     evals: jnp.ndarray       # scalar bound evaluations performed
+    geom_surv: jnp.ndarray   # scalar: children surviving the geometric lb
+                             # against the incumbent (the two-phase chem
+                             # candidate set; see cfg.chem_survivors)
+    chem_corners: jnp.ndarray  # scalar: chem corner evaluations issued
+                               # (kernel volume: lattice path 27P per lane,
+                               # two-phase 8*chem_survivors per lane)
 
 
 def _chem_active(cfg: GoICPConfig) -> bool:
@@ -104,6 +111,7 @@ def inner_bnb(pair: PairData, cfg: GoICPConfig, pts_rot: jnp.ndarray,
         min_dropped=jnp.full((L,), INF, jnp.float32),
         done=~active,
         it=jnp.int32(0), evals=jnp.int32(0),
+        geom_surv=jnp.int32(0), chem_corners=jnp.int32(0),
     )
 
     def make_cond(stop_count: int):
@@ -160,7 +168,51 @@ def inner_bnb(pair: PairData, cfg: GoICPConfig, pts_rot: jnp.ndarray,
     lb_safe = jnp.where(finished, lb_safe, jnp.minimum(lb_safe, rem_min))
     return InnerResult(best_err=s["opt_err"], best_node=s["best_node"],
                        lb_safe=lb_safe, ub_terms=s["ub_terms"],
-                       iters=s["it"], evals=s["evals"])
+                       iters=s["it"], evals=s["evals"],
+                       geom_surv=s["geom_surv"],
+                       chem_corners=s["chem_corners"])
+
+
+def _merge_sorted_keep(rest_lbs, rest_nodes, new_lbs, new_nodes, cap: int):
+    """Merge the SORTED frontier remainder (R slots, ascending, the
+    sorted-frontier invariant) with an UNSORTED new-children block (B
+    slots), keeping the `cap` lowest-lb entries.
+
+    Replaces the full argsort over R+B keys (the per-iteration glue cost
+    called out in VERDICT r4 next-3; the reference analogue being beaten
+    is the priority_queue push/pop, jly_goicp.cpp:293-320) with
+      * one argsort of the B-wide children block only, and
+      * cross ranks from ONE (R, B) pairwise comparison matrix — pure
+        VPU elementwise work, no multi-pass sort over the long axis.
+    The output order is IDENTICAL to jnp.argsort(concat([rest, new]))'s
+    stable order (ties: rest before children, children by original index).
+    NaNs are ranked as +inf (exactly where a total-order sort puts them)
+    but their VALUES are preserved, so NaN lbs stay infectious through
+    the kept frontier min.
+
+    rest_lbs (L,R), rest_nodes (L,R,4), new_lbs (L,B), new_nodes (L,B,4)
+    -> (kept_lbs (L,cap), kept_nodes (L,cap,4), dropped_lbs (L,R+B-cap)).
+    """
+    L, R = rest_lbs.shape
+    B = new_lbs.shape[1]
+    total = R + B
+    kc = jnp.where(jnp.isnan(new_lbs), INF, new_lbs)
+    kr = jnp.where(jnp.isnan(rest_lbs), INF, rest_lbs)
+    co = jnp.argsort(kc, axis=1)                             # (L,B) stable
+    kcs = jnp.take_along_axis(kc, co, axis=1)
+    vals_s = jnp.take_along_axis(new_lbs, co, axis=1)
+    nodes_s = jnp.take_along_axis(new_nodes, co[:, :, None], axis=1)
+    less = kcs[:, None, :] < kr[:, :, None]                  # (L,R,B)
+    pos_r = jnp.arange(R)[None, :] + jnp.sum(less, axis=2)   # (L,R)
+    pos_c = jnp.arange(B)[None, :] + (R - jnp.sum(less, axis=1))
+    rows = jnp.arange(L)[:, None]
+    m_lbs = jnp.full((L, total), INF, rest_lbs.dtype)
+    m_lbs = m_lbs.at[rows, pos_r].set(rest_lbs)
+    m_lbs = m_lbs.at[rows, pos_c].set(vals_s)
+    m_nodes = jnp.zeros((L, total, 4), rest_nodes.dtype)
+    m_nodes = m_nodes.at[rows, pos_r].set(rest_nodes)
+    m_nodes = m_nodes.at[rows, pos_c].set(nodes_s)
+    return m_lbs[:, :cap], m_nodes[:, :cap], m_lbs[:, cap:]
 
 
 def _make_inner_body(pair, cfg, pts_rot, mrd, sse_thresh, child_off,
@@ -170,6 +222,8 @@ def _make_inner_body(pair, cfg, pts_rot, mrd, sse_thresh, child_off,
     L = pts_rot.shape[0]
     C = cfg.trans_capacity
     P = cfg.trans_pop
+    two_phase = chem and cfg.chem_survivors > 0
+    Ssel = min(cfg.chem_survivors, P * 8) if two_phase else 0
 
     def body(s):
         # SORTED-FRONTIER INVARIANT: lbs[l] is ascending (INF = empty), so
@@ -210,8 +264,25 @@ def _make_inner_body(pair, cfg, pts_rot, mrd, sse_thresh, child_off,
                                       mrd)
             ubu = None
 
-        terms = jnp.zeros((L, P * 8, 3), jnp.float32)
-        if chem:
+        valid = expand.reshape(L, P)[:, :, None] \
+            & jnp.ones((1, 1, 8), bool)
+        valid = valid.reshape(L, P * 8)
+        ub = jnp.where(valid, ub, INF)
+        lb = jnp.where(valid, lb, INF)
+        if fused:
+            ubu = jnp.where(valid, ubu, INF)
+
+        # phase-1 survivors: children whose GEOMETRIC lb alone does not
+        # already rule them out against the incumbent.  lb_geom <= lb_total
+        # <= ub_total, so every child that could be adopted (ub_total <
+        # opt_err) or kept in the frontier (lb_total < thr <= opt_err) is
+        # in this set.  (NaN-infectious: a NaN incumbent keeps everything.)
+        alive = valid & ~(lb >= s["opt_err"][:, None])
+        n_surv = jnp.sum(alive).astype(jnp.int32)
+
+        if chem and not two_phase:
+            # reference semantics: chem corner terms for EVERY popped
+            # parent's shared 3x3x3 lattice (jly_goicp.cpp:429-550)
             corners = (parents[..., None, 0:3]
                        + lattice_off[None, None] * cw[..., None, :])
             vals = chem_corner_values(pair, cfg, pts_rot,
@@ -228,17 +299,81 @@ def _make_inner_body(pair, cfg, pts_rot, mrd, sse_thresh, child_off,
                 ub - incomp_t.reshape(L, P * 8) - fpfh_t.reshape(L, P * 8),
                 incomp_t.reshape(L, P * 8), fpfh_t.reshape(L, P * 8)],
                 axis=-1)
+            best_ubu = jnp.min(ubu, axis=1) if fused else None
+            n_corners = L * P * 27
+        elif chem:
+            # TWO-PHASE (beats the reference's unconditional evaluation):
+            # chem corners only for the Ssel lowest-lb geometric survivors
+            # per lane.  Their 8 corner positions are GATHERED from the
+            # parent lattice (identical float arithmetic -> identical chem
+            # values), and results scatter back to the original child
+            # order (same adoption tie-breaks).  Budget overflow keeps the
+            # geometric lb (valid lower bound; re-tightened if the child
+            # is ever popped) with ub = inf (no adoption this iteration).
+            key = jnp.where(alive, lb, INF)
+            # numeric guard: a NaN bound selects FIRST (so it reaches the
+            # adoption comparison and freezes the lane, exactly as in the
+            # lattice path) instead of being silently unselectable
+            key = jnp.where(jnp.isnan(lb), -INF, key)
+            neg, sel_idx = jax.lax.top_k(-key, Ssel)         # (L,Ssel)
+            del neg
+            sel_ok = jnp.take_along_axis(alive, sel_idx, axis=1)
+            corners_lat = (parents[..., None, 0:3]
+                           + lattice_off[None, None] * cw[..., None, :]
+                           ).reshape(L, P * 27, 3)
+            c2l = jnp.asarray(_CHILD_CORNER_TO_LATTICE)      # (8,8)
+            lat_idx = (sel_idx // 8 * 27)[..., None] + c2l[sel_idx % 8]
+            corners_sel = jnp.take_along_axis(
+                corners_lat, lat_idx.reshape(L, Ssel * 8)[..., None],
+                axis=1)                                      # (L,8S,3)
+            vals = chem_corner_values(pair, cfg, pts_rot, corners_sel)
+            ub_add = 0.0
+            lb_add = 0.0
+            ub_ts = {}
+            for k_, reg in (("incomp", cfg.regularization),
+                            ("fpfh", cfg.regularizationFPFH),
+                            ("nbr", cfg.regularizationNeighbors)):
+                if k_ not in vals:
+                    continue
+                v = vals[k_].reshape(L, Ssel, 8)
+                vmax = jnp.max(v, axis=-1)
+                vmin = jnp.min(v, axis=-1)
+                ub_t_ = reg * vmax * vmax
+                ub_add = ub_add + ub_t_
+                lb_add = lb_add + reg * vmin * vmin
+                ub_ts[k_] = ub_t_
+            rows = jnp.arange(L)[:, None]
+            ub_sel = jnp.where(
+                sel_ok, jnp.take_along_axis(ub, sel_idx, axis=1) + ub_add,
+                INF)
+            lb_sel = jnp.where(
+                sel_ok, jnp.take_along_axis(lb, sel_idx, axis=1) + lb_add,
+                INF)
+            if fused:
+                ubu_sel = jnp.where(
+                    sel_ok,
+                    jnp.take_along_axis(ubu, sel_idx, axis=1) + ub_add,
+                    INF)
+                best_ubu = jnp.min(ubu_sel, axis=1)          # min is
+                # permutation-invariant: identical to the lattice path's
+                # min over all children (non-survivors have ubu >= lb_geom
+                # >= opt_err >= thr and cannot lower it)
+            else:
+                best_ubu = None
+            ub = jnp.full_like(ub, INF).at[rows, sel_idx].set(ub_sel)
+            lb = jnp.where(alive, lb, INF).at[rows, sel_idx].set(lb_sel)
+            incomp_t = ub_ts.get("incomp", jnp.zeros((L, Ssel)))
+            fpfh_t = ub_ts.get("fpfh", jnp.zeros((L, Ssel)))
+            terms_sel = jnp.stack(
+                [ub_sel - incomp_t - fpfh_t, incomp_t, fpfh_t], axis=-1)
+            terms = jnp.zeros((L, P * 8, 3), jnp.float32
+                              ).at[rows, sel_idx].set(terms_sel)
+            n_corners = L * Ssel * 8
         else:
             terms = jnp.stack([ub, jnp.zeros_like(ub), jnp.zeros_like(ub)],
                               axis=-1)
-
-        valid = expand.reshape(L, P)[:, :, None] \
-            & jnp.ones((1, 1, 8), bool)
-        valid = valid.reshape(L, P * 8)
-        ub = jnp.where(valid, ub, INF)
-        lb = jnp.where(valid, lb, INF)
-        if fused:
-            ubu = jnp.where(valid, ubu, INF)
+            best_ubu = jnp.min(ubu, axis=1) if fused else None
+            n_corners = 0
 
         # adopt the best child ub per lane
         bc = jnp.argmin(ub, axis=1)                          # (L,)
@@ -256,7 +391,6 @@ def _make_inner_body(pair, cfg, pts_rot, mrd, sse_thresh, child_off,
         # threshold — min of achieved values, all valid upper bounds on the
         # lb-sense optimum)
         if fused:
-            best_ubu = jnp.min(ubu, axis=1)                  # (L,)
             thr = jnp.minimum(s["thr"], jnp.minimum(opt_err, best_ubu))
             thr = jnp.where(done, s["thr"], thr)
             prune_ref = thr
@@ -265,17 +399,22 @@ def _make_inner_body(pair, cfg, pts_rot, mrd, sse_thresh, child_off,
             prune_ref = opt_err
         lb = jnp.where(lb >= prune_ref[:, None], INF, lb)
 
-        # merge + keep the C lowest-lb nodes (the one sort per iteration;
-        # its output is sorted, which re-establishes the invariant)
-        all_lbs = jnp.concatenate([rest_lbs, lb], axis=1)    # (L, C+7P)
-        all_nodes = jnp.concatenate(
-            [rest_nodes, children.reshape(L, P * 8, 4)], axis=1)
-        order = jnp.argsort(all_lbs, axis=1)
-        sorted_lbs = jnp.take_along_axis(all_lbs, order, axis=1)
-        keep_lbs = sorted_lbs[:, :C]
-        keep_nodes = jnp.take_along_axis(
-            all_nodes, order[:, :C, None], axis=1)
-        dropped = sorted_lbs[:, C:]
+        # merge + keep the C lowest-lb nodes (re-establishes the sorted-
+        # frontier invariant); sorted_merge replaces the full C+8P argsort
+        # with the children-block sort + rank merge (identical output)
+        if cfg.sorted_merge:
+            keep_lbs, keep_nodes, dropped = _merge_sorted_keep(
+                rest_lbs, rest_nodes, lb, children.reshape(L, P * 8, 4), C)
+        else:
+            all_lbs = jnp.concatenate([rest_lbs, lb], axis=1)  # (L, C+7P)
+            all_nodes = jnp.concatenate(
+                [rest_nodes, children.reshape(L, P * 8, 4)], axis=1)
+            order = jnp.argsort(all_lbs, axis=1)
+            sorted_lbs = jnp.take_along_axis(all_lbs, order, axis=1)
+            keep_lbs = sorted_lbs[:, :C]
+            keep_nodes = jnp.take_along_axis(
+                all_nodes, order[:, :C, None], axis=1)
+            dropped = sorted_lbs[:, C:]
         min_drop = jnp.min(
             jnp.where(jnp.isfinite(dropped), dropped, INF), axis=1)
         min_dropped = jnp.minimum(s["min_dropped"],
@@ -288,6 +427,8 @@ def _make_inner_body(pair, cfg, pts_rot, mrd, sse_thresh, child_off,
         return dict(nodes=keep_nodes, lbs=keep_lbs, opt_err=opt_err, thr=thr,
                     best_node=best_node, ub_terms=ub_terms,
                     min_dropped=min_dropped, done=done,
-                    it=s["it"] + 1, evals=s["evals"] + n_evals)
+                    it=s["it"] + 1, evals=s["evals"] + n_evals,
+                    geom_surv=s["geom_surv"] + n_surv,
+                    chem_corners=s["chem_corners"] + jnp.int32(n_corners))
 
     return body

@@ -62,6 +62,8 @@ INF = jnp.inf
 _OPT, _THR, _MIND, _DONE, _IT, _EVALS = 0, 1, 2, 3, 4, 5
 _BN = slice(6, 10)          # best_node (x,y,z,w)
 _UBT = slice(10, 13)        # ub_terms (geom, incomp, fpfh)
+_GSURV, _CHEMC = 13, 14     # per-lane geometric-survivor / chem-corner
+                            # counters (see search/inner.InnerResult)
 _SS_W = 16
 
 
@@ -84,7 +86,8 @@ def supports_packed(pair: PairData, cfg: GoICPConfig) -> bool:
 # state packing
 # ---------------------------------------------------------------------------
 
-def _pack_inner(inner: dict, pts_rot, mrd, lane_it, lane_evals):
+def _pack_inner(inner: dict, pts_rot, mrd, lane_it, lane_evals,
+                lane_gsurv, lane_chemc):
     """fused-style per-(pair,lane) inner dict (W,L,...) -> bundles
     (flattened to (W*L, ...))."""
     W, L, C, _ = inner["nodes"].shape
@@ -96,7 +99,8 @@ def _pack_inner(inner: dict, pts_rot, mrd, lane_it, lane_evals):
         inner["done"].astype(jnp.float32)[..., None],
         lane_it[..., None], lane_evals[..., None],
         inner["best_node"], inner["ub_terms"],
-        jnp.zeros((W, L, _SS_W - 13), jnp.float32)], axis=-1)
+        lane_gsurv[..., None], lane_chemc[..., None],
+        jnp.zeros((W, L, _SS_W - 15), jnp.float32)], axis=-1)
     del W, L, C
     pm = jnp.concatenate([pts_rot, mrd[..., None]], axis=-1)
     return sn, ss, pm
@@ -117,6 +121,8 @@ def _inner_view(s: dict, W: int, L: int):
         # lane-iterations — the work/volume unit — not sequential depth)
         it=jnp.sum(ss[..., _IT], axis=1).astype(jnp.int32),
         evals=jnp.sum(ss[..., _EVALS], axis=1).astype(jnp.int32),
+        geom_surv=jnp.sum(ss[..., _GSURV], axis=1).astype(jnp.int32),
+        chem_corners=jnp.sum(ss[..., _CHEMC], axis=1).astype(jnp.int32),
     )
     return inner, pm[..., :3], pm[..., 3], ss
 
@@ -129,7 +135,8 @@ def packed_init(pair_batch: PairData, cfg: GoICPConfig) -> dict:
     mrd = st.pop("mrd")
     W, L = inner["done"].shape
     zeros = jnp.zeros((W, L), jnp.float32)
-    sn, ss, pm = _pack_inner(inner, pts_rot, mrd, zeros, zeros)
+    sn, ss, pm = _pack_inner(inner, pts_rot, mrd, zeros, zeros, zeros,
+                             zeros)
     st.update(sn=sn, ss=ss, pm=pm)
     # inner_work: total lane-iterations executed (the packed engine's
     # volume metric; reported as inner_iters)
@@ -212,6 +219,13 @@ def _packed_iter(cfg: GoICPConfig, size: int, sn, ss, pm, tab, pside,
         size=size, norm=cfg.norm, fused=True, trim=cfg.doTrim,
         interpret=interp)
 
+    valid = jnp.repeat(expand, 8, axis=1)                    # (S, P*8)
+    # per-lane counters (see search/inner.InnerResult): geometric
+    # survivors vs the incumbent, and chem corner kernel volume
+    alive = valid & ~(lb >= opt_err0[:, None])               # NaN-keeps
+    n_surv_lane = jnp.sum(alive, axis=1).astype(jnp.float32)
+    chemc_lane = jnp.float32(27 * P) if chem else jnp.float32(0.0)
+
     if chem:
         corners = (parents[..., None, 0:3]
                    + lattice_off[None, None] * cw[..., None, :])
@@ -232,7 +246,6 @@ def _packed_iter(cfg: GoICPConfig, size: int, sn, ss, pm, tab, pside,
         terms = jnp.stack([ub, jnp.zeros_like(ub), jnp.zeros_like(ub)],
                           axis=-1)
 
-    valid = jnp.repeat(expand, 8, axis=1)                    # (S, P*8)
     ub = jnp.where(valid, ub, INF)
     lb = jnp.where(valid, lb, INF)
     ubu = jnp.where(valid, ubu, INF)
@@ -280,7 +293,10 @@ def _packed_iter(cfg: GoICPConfig, size: int, sn, ss, pm, tab, pside,
         done.astype(jnp.float32)[:, None],
         (ss[:, _IT] + jnp.where(done, 0.0, 1.0))[:, None],
         (ss[:, _EVALS] + n_evals)[:, None],
-        best_node, ub_terms, ss[:, 13:]], axis=-1)
+        best_node, ub_terms,
+        (ss[:, _GSURV] + n_surv_lane)[:, None],
+        (ss[:, _CHEMC] + chemc_lane)[:, None],
+        ss[:, 15:]], axis=-1)
 
     # dead slots (padding when fewer than S lanes are live) keep state
     sn_new = jnp.where(live[:, None, None], sn_new, sn)
@@ -308,8 +324,10 @@ def _transition(pair_batch: PairData, cfg: GoICPConfig, s: dict,
     zeros = jnp.where(transitioned[:, None],
                       0.0, ss[..., _IT])
     zeros_e = jnp.where(transitioned[:, None], 0.0, ss[..., _EVALS])
+    zeros_g = jnp.where(transitioned[:, None], 0.0, ss[..., _GSURV])
+    zeros_c = jnp.where(transitioned[:, None], 0.0, ss[..., _CHEMC])
     sn, ss_new, pm = _pack_inner(inner_new, pts_new, mrd_new, zeros,
-                                 zeros_e)
+                                 zeros_e, zeros_g, zeros_c)
     out.update(sn=sn, ss=ss_new, pm=pm)
     return out
 

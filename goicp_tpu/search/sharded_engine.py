@@ -139,6 +139,7 @@ def register_device_sharded(pair: PairData, cfg: GoICPConfig, mesh,
             icp_runs=jnp.int32(1),
             converged=jnp.bool_(False), final_lb=jnp.float32(0.0),
             good_pops=jnp.int32(0), tot_pops=jnp.int32(0),
+            geom_surv=jnp.int32(0), chem_corners=jnp.int32(0),
         )
 
         def cond(s):
@@ -291,6 +292,8 @@ def register_device_sharded(pair: PairData, cfg: GoICPConfig, mesh,
                 final_lb=final_lb,
                 good_pops=s["good_pops"] + keep(good.astype(jnp.int32), 0),
                 tot_pops=s["tot_pops"] + keep(tot.astype(jnp.int32), 0),
+                geom_surv=s["geom_surv"] + keep(res.geom_surv, 0),
+                chem_corners=s["chem_corners"] + keep(res.chem_corners, 0),
             )
 
         s = jax.lax.while_loop(cond, body, state0)
@@ -308,7 +311,9 @@ def register_device_sharded(pair: PairData, cfg: GoICPConfig, mesh,
             outer_iters=s["it"], evals=evals, gap=gap,
             converged=s["converged"],
             inner_iters=jax.lax.pmax(s["inner_it"], AXIS),
-            icp_runs=jax.lax.psum(s["icp_runs"], AXIS))
+            icp_runs=jax.lax.psum(s["icp_runs"], AXIS),
+            geom_surv=jax.lax.psum(s["geom_surv"], AXIS),
+            chem_corners=jax.lax.psum(s["chem_corners"], AXIS))
         if stats:
             good = jax.lax.psum(s["good_pops"], AXIS)
             tot = jax.lax.psum(s["tot_pops"], AXIS)
@@ -318,7 +323,7 @@ def register_device_sharded(pair: PairData, cfg: GoICPConfig, mesh,
 
     shard_map, rep_kw = _shard_map()
     from jax.sharding import PartitionSpec as P
-    out_specs = DeviceResult(*([P()] * 12))
+    out_specs = DeviceResult(*([P()] * len(DeviceResult._fields)))
     if stats:
         out_specs = (out_specs, P())
     fn = shard_map(shard_fn, mesh=mesh,
