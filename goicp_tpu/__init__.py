@@ -43,7 +43,8 @@ def _enable_xla_cache() -> None:
         _os.path.join(_os.path.expanduser("~"), ".cache", "goicp_tpu_xla"))
     if not path:
         return
-    if (_os.environ.get("JAX_PLATFORMS", "").split(",")[0] or "") == "cpu":
+    _plat0 = _os.environ.get("JAX_PLATFORMS", "").split(",")[0] or ""
+    if _plat0 == "cpu":
         # XLA:CPU AOT cache entries are NOT reliable on this fleet: the VM
         # migrates between host generations, and entries whose target
         # features mismatch the current host have produced hard SIGSEGVs
@@ -52,6 +53,15 @@ def _enable_xla_cache() -> None:
         # (tests) recompiles instead; the TPU cache — the actual
         # multi-minute win — keys on device code and stays enabled.
         return
+    if _plat0 in ("", "default"):
+        # env var unset: jax may still FALL BACK to XLA:CPU when no
+        # accelerator plugin is configured — the same unreliable cache
+        # (ADVICE r4).  Keep the cache only when a TPU path is actually
+        # present (libtpu, or this environment's axon tunnel).
+        import importlib.util as _ilu
+        if not (_os.environ.get("PALLAS_AXON_POOL_IPS")
+                or _ilu.find_spec("libtpu") is not None):
+            return
     # segregate by platform/flags WITHOUT initializing a backend (reading
     # jax.default_backend() here would claim the TPU at import time):
     # entries compiled for another machine type must never be served (XLA

@@ -276,7 +276,7 @@ def chem_corner_values(pair: PairData, cfg: GoICPConfig,
 
 
 def chem_bounds_from_lattice(cfg: GoICPConfig, lattice_vals: dict,
-                             ):
+                             with_child_vals: bool = False):
     """lattice_vals: dict of (L, P, 27) corner values ->
     (ub_add (L,P,8), lb_add (L,P,8), ub_terms dict of (L,P,8)).
 
@@ -284,11 +284,17 @@ def chem_bounds_from_lattice(cfg: GoICPConfig, lattice_vals: dict,
     weights (jly_goicp.cpp:536-549).  ub_terms carries the per-child ub-side
     decomposition (incomp/fpfh) used for error-decomposition logging
     (jly_goicp.cpp:556-561).
+
+    with_child_vals=True additionally returns the per-child 8-corner raw
+    values, dict of (L,P,8,8) — the corner-reuse payload stored with each
+    inserted child so its own pop later only evaluates the 19 NEW lattice
+    points (see search/inner._chem_reuse_active).
     """
     gather = jnp.asarray(_CHILD_CORNER_TO_LATTICE.reshape(-1))  # (64,)
     ub_add = 0.0
     lb_add = 0.0
     ub_terms = {}
+    child_vals = {}
     for key, reg in (("incomp", cfg.regularization),
                      ("fpfh", cfg.regularizationFPFH),
                      ("nbr", cfg.regularizationNeighbors)):
@@ -296,12 +302,16 @@ def chem_bounds_from_lattice(cfg: GoICPConfig, lattice_vals: dict,
             continue
         vals = lattice_vals[key][..., gather]               # (L,P,64)
         vals = vals.reshape(vals.shape[:-1] + (8, 8))       # (L,P,8c,8corner)
+        if with_child_vals:
+            child_vals[key] = vals
         vmax = jnp.max(vals, axis=-1)
         vmin = jnp.min(vals, axis=-1)
         ub_t = reg * vmax * vmax
         ub_add = ub_add + ub_t
         lb_add = lb_add + reg * vmin * vmin
         ub_terms[key] = ub_t
+    if with_child_vals:
+        return ub_add, lb_add, ub_terms, child_vals
     return ub_add, lb_add, ub_terms
 
 

@@ -91,6 +91,46 @@ class GoICPConfig:
                                  # (L -> L/2 -> L/4): done lanes are gathered
                                  # out of the evaluated batch; bit-identical
                                  # per-lane results, less masked work
+    init_seeds: int = 1          # initial-incumbent ICP multi-start: 1 =
+                                 # identity only (the reference's seeding,
+                                 # jly_goicp.cpp:629-661); K>1 also ICPs
+                                 # from K-1 fixed coarse rotations (vmapped
+                                 # — one ICP latency total) and adopts the
+                                 # best.  A tighter first incumbent prunes
+                                 # superlinearly (measured round 4: better
+                                 # incumbents collapse outer steps); purely
+                                 # an incumbent improvement, epsilon-
+                                 # optimality and final quality unchanged
+    chem_reuse: int = 0          # 1 = corner reuse: every frontier node
+                                 # carries the chem values of its own 8
+                                 # cube corners (computed when it was
+                                 # inserted as a child), so a pop's 3x3x3
+                                 # corner lattice only needs the 19 NEW
+                                 # points from the kernel — 0.70x the chem
+                                 # kernel volume (the bandwidth-bound hot
+                                 # op).  Values are identical (the even
+                                 # lattice positions are float-identical
+                                 # to the stored corners' positions up to
+                                 # the 1-ulp chained-add case, which only
+                                 # matters if it crosses a voxel-rounding
+                                 # boundary — measure-zero in practice and
+                                 # epsilon-legal always).  The batched-
+                                 # array analogue of the reference's
+                                 # per-translation memo caches
+                                 # (jly_goicp.h:99-109).  Ignored under
+                                 # chem_survivors (two-phase) mode.
+    trans_slots: int = 0         # fused/packed stream: serve at most K
+                                 # transitioning pairs per outer-transition
+                                 # event (gather K rows -> transition ->
+                                 # scatter back) instead of running the
+                                 # vmapped harvest/ICP/advance block at
+                                 # full window width W every time ANY pair
+                                 # transitions.  0 = full width.  A pair
+                                 # past the K budget simply waits (its
+                                 # completed inner state is idempotent),
+                                 # so each pair's OWN trajectory is
+                                 # unchanged — per-pair results stay
+                                 # equal to register_device (tested)
     sorted_merge: int = 0        # 1 = two-way rank merge for the frontier
                                  # insert (argsort only the 8P children
                                  # block + one pairwise comparison matrix

@@ -47,19 +47,23 @@ from goicp_tpu.bounds.evaluate import (rot_uncertainty, _CHILD_OFFSETS,
                                        _LATTICE_OFFSETS)
 from goicp_tpu.search.device_engine import (DeviceResult, _icp_best_of_seeds,
                                             _initial_incumbent)
-from goicp_tpu.search.inner import _chem_active, _make_inner_body
+from goicp_tpu.search.inner import (_chem_active, _chem_reuse_active,
+                                    _chem_terms, _make_inner_body,
+                                    root_corner_values)
 
 SQRT3 = 3.0 ** 0.5
 INF = jnp.inf
 
 
-def _inner_init(cfg: GoICPConfig, L: int, opt_err):
+def _inner_init(cfg: GoICPConfig, L: int, opt_err, root_cv=None):
     """Fresh inner-search state for one pair's L rotation lanes (the
-    per-lane translation frontier of search/inner.py, as carried state)."""
+    per-lane translation frontier of search/inner.py, as carried state).
+    root_cv (L, 8*T): the root node's corner-reuse chem payload (required
+    for a REAL search when cfg.chem_reuse; the dummy init passes None)."""
     C = cfg.trans_capacity
     root = jnp.array([cfg.transMinX, cfg.transMinY, cfg.transMinZ,
                       cfg.transWidth], jnp.float32)
-    return dict(
+    st = dict(
         nodes=jnp.zeros((L, C, 4), jnp.float32).at[:, 0].set(root),
         lbs=jnp.full((L, C), INF, jnp.float32).at[:, 0].set(0.0),
         opt_err=jnp.broadcast_to(opt_err, (L,)).astype(jnp.float32),
@@ -71,6 +75,12 @@ def _inner_init(cfg: GoICPConfig, L: int, opt_err):
         it=jnp.int32(0), evals=jnp.int32(0),
         geom_surv=jnp.int32(0), chem_corners=jnp.int32(0),
     )
+    if _chem_reuse_active(cfg):
+        cv = jnp.zeros((L, C, 8 * len(_chem_terms(cfg))), jnp.float32)
+        if root_cv is not None:
+            cv = cv.at[:, 0].set(root_cv)
+        st["cvals"] = cv
+    return st
 
 
 def fused_init(pair: PairData, cfg: GoICPConfig) -> dict:
@@ -229,7 +239,9 @@ def _advance(pair: PairData, cfg: GoICPConfig, s: dict, h: dict, r: dict,
     pts = jnp.einsum("lij,nj->lni", R_lanes, pair.data,
                      precision=jax.lax.Precision.HIGHEST)
     mrd = rot_uncertainty(widths, pair.norm_data)
-    inner_new = _inner_init(cfg, L, opt_err)
+    root_cv = root_corner_values(pair, cfg, pts) \
+        if _chem_reuse_active(cfg) else None
+    inner_new = _inner_init(cfg, L, opt_err, root_cv=root_cv)
     inner_new["done"] = ~active | converged
 
     # masked apply: a non-transitioning pair keeps everything
@@ -314,6 +326,8 @@ def fused_run_chunk(pair_batch: PairData, cfg: GoICPConfig, state: dict,
     transitions).  Resumable: feed the returned state back in."""
     vinner = jax.vmap(_inner_step, in_axes=(0, None, 0))
     vcomplete = jax.vmap(_inner_complete, in_axes=(None, 0))
+    W = int(pair_batch.data.shape[0])
+    K = min(cfg.trans_slots, W) if cfg.trans_slots > 0 else W
 
     def body(carry):
         s, g = carry
@@ -321,7 +335,21 @@ def fused_run_chunk(pair_batch: PairData, cfg: GoICPConfig, state: dict,
         need_trans = vcomplete(cfg, s) & live
 
         def do_trans(s):
-            return _transition_batch(pair_batch, cfg, s, need_trans)
+            if K >= W:
+                return _transition_batch(pair_batch, cfg, s, need_trans)
+            # slot-gathered transition (VERDICT r4 next-4): the vmapped
+            # harvest/ICP/advance block costs ~W lanes of fixed work per
+            # event; gather the <= K transitioning rows into K slots, run
+            # the block K-wide, scatter back.  Pairs past the budget keep
+            # their completed (idempotent) inner state and are served on
+            # the next event — their own pop sequence is unchanged, so
+            # per-pair trajectories still match register_device exactly.
+            _, idx = jax.lax.top_k(need_trans.astype(jnp.int32), K)
+            sub_s = jax.tree_util.tree_map(lambda x: x[idx], s)
+            sub_p = jax.tree_util.tree_map(lambda x: x[idx], pair_batch)
+            sub_o = _transition_batch(sub_p, cfg, sub_s, need_trans[idx])
+            return jax.tree_util.tree_map(
+                lambda full, so: full.at[idx].set(so), s, sub_o)
 
         s = jax.lax.cond(jnp.any(need_trans), do_trans, lambda s: s, s)
 
@@ -444,6 +472,62 @@ def load_stream_state(path: str):
     return state, rows_orig, dead, next_pair, done
 
 
+def straggler_to_lane_sharded(pair, cfg: GoICPConfig, row_state: dict,
+                              mesh):
+    """Hand a lone in-flight straggler of a drained fused window to
+    rotation-lane sharding over `mesh`'s `search` axis (VERDICT r4
+    next-7: once the window drains, pair-DP leaves every other device
+    idle — the straggler's own LANES are the remaining parallelism).
+
+    The fused row's in-flight pop (popped parents mid-inner-search, no
+    longer in fr_lbs) is re-inserted as its expanded children with their
+    CURRENT in-flight lower bounds (the inner lb_safe formula — valid
+    bounds for each child's subtree), producing a pure rotation-frontier
+    state that register_device's lane-sharded engine (shard_map over
+    `search`) runs to convergence.  Partial inner progress on the
+    in-flight lanes is re-searched when those children pop again —
+    bounded rework, epsilon-optimality untouched.
+    """
+    from goicp_tpu.search.device_engine import (device_finalize,
+                                                device_run_chunk)
+    ist = row_state["inner"]
+    rem_min = jnp.min(ist["lbs"], axis=-1)                   # (L,)
+    lane_lb = jnp.minimum(ist["thr"], ist["min_dropped"])
+    lane_lb = jnp.where(ist["done"], lane_lb,
+                        jnp.minimum(lane_lb, rem_min))
+    lbs_new = jnp.where(
+        row_state["active"] & (lane_lb < row_state["opt_err"]),
+        lane_lb, INF)
+    Cr = cfg.device_rot_capacity
+    all_lbs = jnp.concatenate([row_state["fr_lbs"], lbs_new])
+    all_nodes = jnp.concatenate([row_state["fr_nodes"],
+                                 row_state["child_nodes"]])
+    order = jnp.argsort(all_lbs)
+    keep_lbs = all_lbs[order[:Cr]]
+    keep_nodes = all_nodes[order[:Cr]]
+    dropped = all_lbs[order[Cr:]]
+    min_drop = jnp.min(jnp.where(jnp.isfinite(dropped), dropped, INF))
+    dstate = dict(
+        fr_nodes=keep_nodes, fr_lbs=keep_lbs,
+        opt_err=row_state["opt_err"], opt_R=row_state["opt_R"],
+        opt_t=row_state["opt_t"], comp=row_state["comp"],
+        terms=row_state["terms"], last_icp=row_state["last_icp"],
+        min_dropped=jnp.minimum(row_state["min_dropped"], min_drop),
+        it=row_state["it"], evals=row_state["evals"],
+        inner_it=row_state["inner_it"], icp_runs=row_state["icp_runs"],
+        converged=row_state["converged"], final_lb=row_state["final_lb"],
+        geom_surv=row_state["geom_surv"] + ist["geom_surv"],
+        chem_corners=row_state["chem_corners"] + ist["chem_corners"],
+    )
+    while True:
+        dstate = device_run_chunk(pair, cfg, dstate, np.int32(512),
+                                  mesh=mesh)
+        if bool(jax.device_get(dstate["converged"])) \
+                or int(jax.device_get(dstate["it"])) >= cfg.max_outer_steps:
+            break
+    return device_finalize(dstate)
+
+
 def _fused_inflight_np(state: dict) -> np.ndarray:
     """(W,) in-flight inner lower bound, host-side (progress telemetry)."""
     ist = state["inner"]
@@ -480,9 +564,18 @@ def register_fused_stream(pairs, cfg: GoICPConfig, width: int = 8,
 
     mesh: shard the window's pair axis over the mesh's `data` axis
     (pair-level DP for the fused engine; width must be a multiple of the
-    data-axis size).
+    data-axis size).  When the mesh ALSO carries a `search` axis (> 1),
+    a lone straggler left after the window drains is handed to
+    rotation-lane sharding over that axis (straggler_to_lane_sharded) so
+    the other devices work on the straggler's own lanes instead of
+    idling.
 
     Returns DeviceResult with the batch axis in original pair order."""
+    straggler_fn = None
+    if mesh is not None and "search" in tuple(mesh.axis_names) \
+            and mesh.shape["search"] > 1:
+        def straggler_fn(pair1, row_state):
+            return straggler_to_lane_sharded(pair1, cfg, row_state, mesh)
     return _stream_driver(pairs, cfg, width=width, chunk_steps=chunk_steps,
                           progress=progress,
                           checkpoint_path=checkpoint_path, resume=resume,
@@ -490,13 +583,14 @@ def register_fused_stream(pairs, cfg: GoICPConfig, width: int = 8,
                           init_fn=_jit_init, run_chunk=fused_run_chunk,
                           finalize=fused_finalize,
                           inflight_fn=_fused_inflight_np,
-                          checkpoint_every=checkpoint_every)
+                          checkpoint_every=checkpoint_every,
+                          straggler_fn=straggler_fn)
 
 
 def _stream_driver(pairs, cfg: GoICPConfig, width, chunk_steps, progress,
                    checkpoint_path, resume, max_chunks, mesh,
                    init_fn, run_chunk, finalize, inflight_fn=None,
-                   checkpoint_every: int = 1):
+                   checkpoint_every: int = 1, straggler_fn=None):
     """Engine-generic continuous-batching host loop (window refill,
     checkpoint/resume, progress) shared by the fused and packed streams.
     init_fn(cfg) -> jitted batch init; run_chunk(pair_batch, cfg, state,
@@ -511,6 +605,13 @@ def _stream_driver(pairs, cfg: GoICPConfig, width, chunk_steps, progress,
 
     B = len(pairs)
     width = min(width, B)
+    if mesh is not None:
+        # the window's pair axis shards over `data`: keep it a multiple of
+        # that axis even when fewer pairs than devices remain, padding the
+        # window with DEAD rows (repeat pair 0; never reported) — ADVICE
+        # r4: a clamped width < data-axis size broke the device_put
+        d_ax = mesh.shape["data"]
+        width = -(-width // d_ax) * d_ax
     stacked_all = stack_pairs(list(pairs))
 
     def _shard(tree):
@@ -519,21 +620,22 @@ def _stream_driver(pairs, cfg: GoICPConfig, width, chunk_steps, progress,
         from jax.sharding import NamedSharding, PartitionSpec as P
         return jax.device_put(tree, NamedSharding(mesh, P("data")))
 
-    def _take(tree, idx):
-        return _shard(jax.tree_util.tree_map(
-            lambda x: x[jnp.asarray(idx)], tree))
+    def _take(tree, idx, shard=True):
+        t = jax.tree_util.tree_map(lambda x: x[jnp.asarray(idx)], tree)
+        return _shard(t) if shard else t
 
-    rows_orig = list(range(width))
-    next_pair = width
+    n0 = min(width, B)
+    rows_orig = [i if i < n0 else 0 for i in range(width)]
+    next_pair = n0
     done: dict[int, DeviceResult] = {}
-    dead = [False] * width
+    dead = [i >= n0 for i in range(width)]
 
     if resume and checkpoint_path and os.path.exists(checkpoint_path):
         state, rows_orig, dead, next_pair, done = \
             load_stream_state(checkpoint_path)
         cur_pair = _take(stacked_all, np.asarray(rows_orig))
     else:
-        cur_pair = _take(stacked_all, np.arange(width))
+        cur_pair = _take(stacked_all, np.asarray(rows_orig))
         state = init_fn(cfg)(cur_pair)
     fin = jax.jit(finalize)
     scatter = jax.jit(lambda state, row, sub: jax.tree_util.tree_map(
@@ -546,6 +648,24 @@ def _stream_driver(pairs, cfg: GoICPConfig, width, chunk_steps, progress,
         conv = np.asarray(state["converged"])
         its = np.asarray(state["it"])
         finished = conv | (its >= cfg.max_outer_steps)
+
+        # straggler handoff: the window has drained to ONE live pair and
+        # no refills remain — hand its lanes to `search`-axis sharding
+        # (straggler_to_lane_sharded) instead of leaving the other
+        # devices idle behind pair-DP
+        if straggler_fn is not None and next_pair >= B:
+            live = [r for r in range(width)
+                    if not (finished[r] or dead[r])]
+            if len(live) == 1:
+                r = live[0]
+                row = jax.tree_util.tree_map(lambda x: x[r], state)
+                pair1 = jax.tree_util.tree_map(
+                    lambda x: x[rows_orig[r]], stacked_all)
+                done[rows_orig[r]] = jax.device_get(
+                    straggler_fn(pair1, row))
+                dead[r] = True
+                finished = conv | np.ones_like(conv)  # window fully served
+
         if progress is not None:
             # frontier_min folds the in-flight inner search's bound (the
             # popped parents' subtrees are no longer in fr_lbs)
@@ -592,8 +712,12 @@ def _stream_driver(pairs, cfg: GoICPConfig, width, chunk_steps, progress,
                              (rows_orig[i] if not dead[i] else 0)
                              for i in range(width)])
                         cur_pair = _take(stacked_all, idx)
+                        # single-row init: a width-1 batch cannot carry
+                        # the data-axis sharding (not divisible); init
+                        # unsharded, the scatter reshards into the state
                         sub_pair = _take(stacked_all,
-                                         np.asarray([next_pair]))
+                                         np.asarray([next_pair]),
+                                         shard=False)
                         sub_state = init_fn(cfg)(sub_pair)
                         state = scatter(state, r, sub_state)
                         rows_orig[r] = next_pair

@@ -30,6 +30,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from goicp_tpu.bounds.evaluate import (chem_bounds_from_lattice,
                                        chem_corner_values, geometric_bounds,
@@ -61,6 +62,62 @@ class InnerResult(NamedTuple):
 def _chem_active(cfg: GoICPConfig) -> bool:
     return (cfg.regularization > 0 or cfg.regularizationNeighbors > 0
             or (cfg.regularizationFPFH > 0 and cfg.cfpfh != 0))
+
+
+def _chem_terms(cfg: GoICPConfig) -> tuple:
+    """Active chem term keys, in the (stable) order chem_corner_values
+    emits them; the corner-reuse payload stores 8 values per term."""
+    terms = []
+    if cfg.regularization > 0:
+        terms.append("incomp")
+    if cfg.regularizationFPFH > 0 and cfg.cfpfh != 0:
+        terms.append("fpfh")
+    if cfg.regularizationNeighbors > 0:
+        terms.append("nbr")
+    return tuple(terms)
+
+
+def _chem_reuse_active(cfg: GoICPConfig) -> bool:
+    """Corner-reuse (cfg.chem_reuse): every frontier node carries the chem
+    values of its own 8 cube corners (computed when it was created), so a
+    pop's 3x3x3 lattice only needs the 19 NEW points from the kernel —
+    0.70x the chem kernel volume at identical values.  Disabled under
+    two-phase mode (the budgeted path has no full lattice to reuse)."""
+    return bool(cfg.chem_reuse) and _chem_active(cfg) \
+        and cfg.chem_survivors <= 0
+
+
+# parent's own cube corner c sits at lattice offset 2 * _CHILD_OFFSETS[c]
+# in its own (child-width-spaced) corner lattice
+_EVEN_LATTICE = np.array(
+    [((2 * o[2]) * 3 + 2 * o[1]) * 3 + 2 * o[0] for o in _CHILD_OFFSETS],
+    dtype=np.int32)                                   # (8,)
+_ODD_LATTICE = np.array(
+    [i for i in range(27) if i not in set(_EVEN_LATTICE.tolist())],
+    dtype=np.int32)                                   # (19,)
+# lattice index i takes its value from [stored corner 0..7 | kernel odd
+# point 0..18] under corner reuse — ONE static gather, no scatter
+_LAT_FROM_STORED = np.zeros(27, np.int32)
+for _i, _e in enumerate(_EVEN_LATTICE):
+    _LAT_FROM_STORED[_e] = _i
+for _i, _o in enumerate(_ODD_LATTICE):
+    _LAT_FROM_STORED[_o] = 8 + _i
+
+
+def root_corner_values(pair, cfg: GoICPConfig, pts_rot: jnp.ndarray):
+    """Chem values at the ROOT translation cube's 8 corners, (L, 8*T) in
+    _chem_terms order — the corner-reuse seed for a fresh inner search.
+    Corner positions root_xyz + off*w are float-identical to the even
+    lattice slots of the root's pop (k*(w/2) is exact for k in {0,1,2})."""
+    from goicp_tpu.bounds.evaluate import chem_corner_values
+    L = pts_rot.shape[0]
+    root = jnp.array([cfg.transMinX, cfg.transMinY, cfg.transMinZ],
+                     jnp.float32)
+    off = jnp.asarray(_CHILD_OFFSETS, jnp.float32)
+    corners = (root[None] + off * jnp.float32(cfg.transWidth))[None]
+    corners = jnp.broadcast_to(corners, (L, 8, 3))
+    vals = chem_corner_values(pair, cfg, pts_rot, corners)
+    return jnp.concatenate([vals[k] for k in _chem_terms(cfg)], axis=-1)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "with_rot_uncertainty",
@@ -113,6 +170,10 @@ def inner_bnb(pair: PairData, cfg: GoICPConfig, pts_rot: jnp.ndarray,
         it=jnp.int32(0), evals=jnp.int32(0),
         geom_surv=jnp.int32(0), chem_corners=jnp.int32(0),
     )
+    if _chem_reuse_active(cfg):
+        T = len(_chem_terms(cfg))
+        state0["cvals"] = jnp.zeros((L, C, 8 * T), jnp.float32) \
+            .at[:, 0].set(root_corner_values(pair, cfg, pts_rot))
 
     def make_cond(stop_count: int):
         """Loop predicate; with stop_count > 0 the stage exits early once
@@ -141,7 +202,7 @@ def inner_bnb(pair: PairData, cfg: GoICPConfig, pts_rot: jnp.ndarray,
                 stage_widths.append(w)
 
     per_lane = ("nodes", "lbs", "opt_err", "thr", "best_node", "ub_terms",
-                "min_dropped", "done")
+                "min_dropped", "done", "cvals")
 
     s = jax.lax.while_loop(
         make_cond(stage_widths[1] if len(stage_widths) > 1 else 0),
@@ -190,11 +251,13 @@ def _merge_sorted_keep(rest_lbs, rest_nodes, new_lbs, new_nodes, cap: int):
     but their VALUES are preserved, so NaN lbs stay infectious through
     the kept frontier min.
 
-    rest_lbs (L,R), rest_nodes (L,R,4), new_lbs (L,B), new_nodes (L,B,4)
-    -> (kept_lbs (L,cap), kept_nodes (L,cap,4), dropped_lbs (L,R+B-cap)).
+    rest_lbs (L,R), rest_nodes (L,R,K), new_lbs (L,B), new_nodes (L,B,K)
+    -> (kept_lbs (L,cap), kept_nodes (L,cap,K), dropped_lbs (L,R+B-cap)).
+    (K = 4 node coords, plus the corner-reuse payload when active.)
     """
     L, R = rest_lbs.shape
     B = new_lbs.shape[1]
+    K = rest_nodes.shape[-1]
     total = R + B
     kc = jnp.where(jnp.isnan(new_lbs), INF, new_lbs)
     kr = jnp.where(jnp.isnan(rest_lbs), INF, rest_lbs)
@@ -209,7 +272,7 @@ def _merge_sorted_keep(rest_lbs, rest_nodes, new_lbs, new_nodes, cap: int):
     m_lbs = jnp.full((L, total), INF, rest_lbs.dtype)
     m_lbs = m_lbs.at[rows, pos_r].set(rest_lbs)
     m_lbs = m_lbs.at[rows, pos_c].set(vals_s)
-    m_nodes = jnp.zeros((L, total, 4), rest_nodes.dtype)
+    m_nodes = jnp.zeros((L, total, K), rest_nodes.dtype)
     m_nodes = m_nodes.at[rows, pos_r].set(rest_nodes)
     m_nodes = m_nodes.at[rows, pos_c].set(nodes_s)
     return m_lbs[:, :cap], m_nodes[:, :cap], m_lbs[:, cap:]
@@ -224,6 +287,9 @@ def _make_inner_body(pair, cfg, pts_rot, mrd, sse_thresh, child_off,
     P = cfg.trans_pop
     two_phase = chem and cfg.chem_survivors > 0
     Ssel = min(cfg.chem_survivors, P * 8) if two_phase else 0
+    reuse = _chem_reuse_active(cfg)
+    terms_keys = _chem_terms(cfg)
+    lat_perm = _LAT_FROM_STORED
 
     def body(s):
         # SORTED-FRONTIER INVARIANT: lbs[l] is ascending (INF = empty), so
@@ -239,6 +305,9 @@ def _make_inner_body(pair, cfg, pts_rot, mrd, sse_thresh, child_off,
 
         pop_lb = lbs[:, :P]                                  # (L,P)
         parents = s["nodes"][:, :P]
+        if reuse:
+            parents_cv = s["cvals"][:, :P]                   # (L,P,8T)
+            rest_cv = s["cvals"][:, P:]
         expand = (~done[:, None]) & jnp.isfinite(pop_lb) \
             & (ref_err[:, None] - pop_lb >= sse_thresh)
         # popped slots leave the frontier unconditionally (the
@@ -280,15 +349,40 @@ def _make_inner_body(pair, cfg, pts_rot, mrd, sse_thresh, child_off,
         alive = valid & ~(lb >= s["opt_err"][:, None])
         n_surv = jnp.sum(alive).astype(jnp.int32)
 
+        child_cv = None
         if chem and not two_phase:
             # reference semantics: chem corner terms for EVERY popped
             # parent's shared 3x3x3 lattice (jly_goicp.cpp:429-550)
             corners = (parents[..., None, 0:3]
                        + lattice_off[None, None] * cw[..., None, :])
-            vals = chem_corner_values(pair, cfg, pts_rot,
-                                      corners.reshape(L, P * 27, 3))
-            vals = {k: v.reshape(L, P, 27) for k, v in vals.items()}
-            ub_add, lb_add, ub_t = chem_bounds_from_lattice(cfg, vals)
+            if reuse:
+                # corner reuse: the parent's own 8 cube corners (even
+                # lattice positions) were evaluated when the parent was
+                # CREATED and ride in its frontier payload; the kernel
+                # only evaluates the 19 new points (0.70x chem volume)
+                odd = jnp.asarray(_ODD_LATTICE)
+                corners_odd = jnp.take(corners, odd, axis=2)  # (L,P,19,3)
+                vals_odd = chem_corner_values(
+                    pair, cfg, pts_rot, corners_odd.reshape(L, P * 19, 3))
+                perm = jnp.asarray(lat_perm)
+                vals = {}
+                for ti, k_ in enumerate(terms_keys):
+                    both = jnp.concatenate(
+                        [parents_cv[..., ti * 8:(ti + 1) * 8],
+                         vals_odd[k_].reshape(L, P, 19)], axis=-1)
+                    vals[k_] = jnp.take(both, perm, axis=-1)  # (L,P,27)
+                n_corners = L * P * 19
+                ub_add, lb_add, ub_t, cvd = chem_bounds_from_lattice(
+                    cfg, vals, with_child_vals=True)
+                child_cv = jnp.concatenate(
+                    [cvd[k_].reshape(L, P * 8, 8) for k_ in terms_keys],
+                    axis=-1)                                  # (L,P*8,8T)
+            else:
+                vals = chem_corner_values(pair, cfg, pts_rot,
+                                          corners.reshape(L, P * 27, 3))
+                vals = {k: v.reshape(L, P, 27) for k, v in vals.items()}
+                n_corners = L * P * 27
+                ub_add, lb_add, ub_t = chem_bounds_from_lattice(cfg, vals)
             ub = ub + ub_add.reshape(L, P * 8)
             lb = lb + lb_add.reshape(L, P * 8)
             if fused:
@@ -300,7 +394,6 @@ def _make_inner_body(pair, cfg, pts_rot, mrd, sse_thresh, child_off,
                 incomp_t.reshape(L, P * 8), fpfh_t.reshape(L, P * 8)],
                 axis=-1)
             best_ubu = jnp.min(ubu, axis=1) if fused else None
-            n_corners = L * P * 27
         elif chem:
             # TWO-PHASE (beats the reference's unconditional evaluation):
             # chem corners only for the Ssel lowest-lb geometric survivors
@@ -401,20 +494,28 @@ def _make_inner_body(pair, cfg, pts_rot, mrd, sse_thresh, child_off,
 
         # merge + keep the C lowest-lb nodes (re-establishes the sorted-
         # frontier invariant); sorted_merge replaces the full C+8P argsort
-        # with the children-block sort + rank merge (identical output)
+        # with the children-block sort + rank merge (identical output);
+        # under corner reuse the per-node chem payload rides the merge
+        child_payload = children.reshape(L, P * 8, 4)
+        rest_payload = rest_nodes
+        if reuse:
+            child_payload = jnp.concatenate([child_payload, child_cv],
+                                            axis=-1)
+            rest_payload = jnp.concatenate([rest_nodes, rest_cv], axis=-1)
         if cfg.sorted_merge:
-            keep_lbs, keep_nodes, dropped = _merge_sorted_keep(
-                rest_lbs, rest_nodes, lb, children.reshape(L, P * 8, 4), C)
+            keep_lbs, keep_payload, dropped = _merge_sorted_keep(
+                rest_lbs, rest_payload, lb, child_payload, C)
         else:
             all_lbs = jnp.concatenate([rest_lbs, lb], axis=1)  # (L, C+7P)
-            all_nodes = jnp.concatenate(
-                [rest_nodes, children.reshape(L, P * 8, 4)], axis=1)
+            all_nodes = jnp.concatenate([rest_payload, child_payload],
+                                        axis=1)
             order = jnp.argsort(all_lbs, axis=1)
             sorted_lbs = jnp.take_along_axis(all_lbs, order, axis=1)
             keep_lbs = sorted_lbs[:, :C]
-            keep_nodes = jnp.take_along_axis(
+            keep_payload = jnp.take_along_axis(
                 all_nodes, order[:, :C, None], axis=1)
             dropped = sorted_lbs[:, C:]
+        keep_nodes = keep_payload[..., :4]
         min_drop = jnp.min(
             jnp.where(jnp.isfinite(dropped), dropped, INF), axis=1)
         min_dropped = jnp.minimum(s["min_dropped"],
@@ -424,11 +525,15 @@ def _make_inner_body(pair, cfg, pts_rot, mrd, sse_thresh, child_off,
         keep_lbs = jnp.where(done[:, None], s["lbs"], keep_lbs)
 
         n_evals = jnp.sum(valid).astype(jnp.int32)
-        return dict(nodes=keep_nodes, lbs=keep_lbs, opt_err=opt_err, thr=thr,
-                    best_node=best_node, ub_terms=ub_terms,
-                    min_dropped=min_dropped, done=done,
-                    it=s["it"] + 1, evals=s["evals"] + n_evals,
-                    geom_surv=s["geom_surv"] + n_surv,
-                    chem_corners=s["chem_corners"] + jnp.int32(n_corners))
+        out = dict(nodes=keep_nodes, lbs=keep_lbs, opt_err=opt_err, thr=thr,
+                   best_node=best_node, ub_terms=ub_terms,
+                   min_dropped=min_dropped, done=done,
+                   it=s["it"] + 1, evals=s["evals"] + n_evals,
+                   geom_surv=s["geom_surv"] + n_surv,
+                   chem_corners=s["chem_corners"] + jnp.int32(n_corners))
+        if reuse:
+            out["cvals"] = jnp.where(done[:, None, None], s["cvals"],
+                                     keep_payload[..., 4:])
+        return out
 
     return body

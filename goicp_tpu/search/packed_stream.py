@@ -89,7 +89,8 @@ def supports_packed(pair: PairData, cfg: GoICPConfig) -> bool:
 def _pack_inner(inner: dict, pts_rot, mrd, lane_it, lane_evals,
                 lane_gsurv, lane_chemc):
     """fused-style per-(pair,lane) inner dict (W,L,...) -> bundles
-    (flattened to (W*L, ...))."""
+    (flattened to (W*L, ...)).  Returns (sn, ss, pm, sv) where sv is the
+    corner-reuse payload (W,L,C,8T) or None when chem_reuse is off."""
     W, L, C, _ = inner["nodes"].shape
     sn = jnp.concatenate([inner["nodes"],
                           inner["lbs"][..., None]], axis=-1)
@@ -103,7 +104,7 @@ def _pack_inner(inner: dict, pts_rot, mrd, lane_it, lane_evals,
         jnp.zeros((W, L, _SS_W - 15), jnp.float32)], axis=-1)
     del W, L, C
     pm = jnp.concatenate([pts_rot, mrd[..., None]], axis=-1)
-    return sn, ss, pm
+    return sn, ss, pm, inner.get("cvals")
 
 
 def _inner_view(s: dict, W: int, L: int):
@@ -124,6 +125,8 @@ def _inner_view(s: dict, W: int, L: int):
         geom_surv=jnp.sum(ss[..., _GSURV], axis=1).astype(jnp.int32),
         chem_corners=jnp.sum(ss[..., _CHEMC], axis=1).astype(jnp.int32),
     )
+    if "sv" in s and s["sv"] is not None:
+        inner["cvals"] = s["sv"]
     return inner, pm[..., :3], pm[..., 3], ss
 
 
@@ -135,9 +138,11 @@ def packed_init(pair_batch: PairData, cfg: GoICPConfig) -> dict:
     mrd = st.pop("mrd")
     W, L = inner["done"].shape
     zeros = jnp.zeros((W, L), jnp.float32)
-    sn, ss, pm = _pack_inner(inner, pts_rot, mrd, zeros, zeros, zeros,
-                             zeros)
+    sn, ss, pm, sv = _pack_inner(inner, pts_rot, mrd, zeros, zeros, zeros,
+                                 zeros)
     st.update(sn=sn, ss=ss, pm=pm)
+    if sv is not None:
+        st["sv"] = sv
     # inner_work: total lane-iterations executed (the packed engine's
     # volume metric; reported as inner_iters)
     st["inner_it"] = jnp.zeros((W,), jnp.int32)
@@ -179,12 +184,14 @@ def _pair_tables(pair_batch: PairData, cfg: GoICPConfig):
 # ---------------------------------------------------------------------------
 
 def _packed_iter(cfg: GoICPConfig, size: int, sn, ss, pm, tab, pside,
-                 cons, sse, live):
+                 cons, sse, live, sv=None):
     """One inner-BnB iteration on S packed lanes (possibly from different
     pairs).  Mirrors search/inner._make_inner_body lane-for-lane; the
-    Pallas kernels take per-lane tables."""
+    Pallas kernels take per-lane tables.  sv (S,C,8): the corner-reuse
+    payload rows when cfg.chem_reuse (incomp-only chem here)."""
     from goicp_tpu.bounds.pallas_eval import (geometric_bounds_kernel_lanes,
                                               chem_incomp_kernel_lanes)
+    from goicp_tpu.search.inner import _LAT_FROM_STORED, _ODD_LATTICE
     S, C, _ = sn.shape
     P = cfg.trans_pop
     chem = fs._chem_active(cfg)
@@ -226,14 +233,36 @@ def _packed_iter(cfg: GoICPConfig, size: int, sn, ss, pm, tab, pside,
     n_surv_lane = jnp.sum(alive, axis=1).astype(jnp.float32)
     chemc_lane = jnp.float32(27 * P) if chem else jnp.float32(0.0)
 
+    child_cv = None
     if chem:
         corners = (parents[..., None, 0:3]
                    + lattice_off[None, None] * cw[..., None, :])
-        counts = chem_incomp_kernel_lanes(
-            pts, corners.reshape(S, P * 27, 3), tab[..., 6:22],
-            pside[:, 1:11], cons, size=size, interpret=interp)
-        vals = {"incomp": counts.reshape(S, P, 27)}
-        ub_add, lb_add, ub_t = chem_bounds_from_lattice(cfg, vals)
+        if sv is not None:
+            # corner reuse (search/inner.py semantics): stored parent
+            # corners fill the even lattice slots, the kernel evaluates
+            # the 19 new points
+            parents_cv = sv[:, :P]                           # (S,P,8)
+            odd = jnp.asarray(_ODD_LATTICE)
+            corners_odd = jnp.take(corners, odd, axis=2)     # (S,P,19,3)
+            counts = chem_incomp_kernel_lanes(
+                pts, corners_odd.reshape(S, P * 19, 3), tab[..., 6:22],
+                pside[:, 1:11], cons, size=size, interpret=interp)
+            both = jnp.concatenate(
+                [parents_cv, counts.reshape(S, P, 19)], axis=-1)
+            vals = {"incomp": jnp.take(
+                both, jnp.asarray(_LAT_FROM_STORED), axis=-1)}
+            chemc_lane = jnp.float32(19 * P)
+        else:
+            counts = chem_incomp_kernel_lanes(
+                pts, corners.reshape(S, P * 27, 3), tab[..., 6:22],
+                pside[:, 1:11], cons, size=size, interpret=interp)
+            vals = {"incomp": counts.reshape(S, P, 27)}
+        if sv is not None:
+            ub_add, lb_add, ub_t, cvd = chem_bounds_from_lattice(
+                cfg, vals, with_child_vals=True)
+            child_cv = cvd["incomp"].reshape(S, P * 8, 8)
+        else:
+            ub_add, lb_add, ub_t = chem_bounds_from_lattice(cfg, vals)
         ub = ub + ub_add.reshape(S, P * 8)
         ubu = ubu + ub_add.reshape(S, P * 8)
         lb = lb + lb_add.reshape(S, P * 8)
@@ -268,14 +297,20 @@ def _packed_iter(cfg: GoICPConfig, size: int, sn, ss, pm, tab, pside,
     thr = jnp.where(done, ss[:, _THR], thr)
     lb = jnp.where(lb >= thr[:, None], INF, lb)
 
-    # merge + keep the C lowest-lb nodes
+    # merge + keep the C lowest-lb nodes (corner-reuse payload rides)
+    child_payload = children.reshape(S, P * 8, 4)
+    rest_payload = rest_nodes
+    if sv is not None:
+        child_payload = jnp.concatenate([child_payload, child_cv], axis=-1)
+        rest_payload = jnp.concatenate([rest_nodes, sv[:, P:]], axis=-1)
     all_lbs = jnp.concatenate([rest_lbs, lb], axis=1)
-    all_nodes = jnp.concatenate(
-        [rest_nodes, children.reshape(S, P * 8, 4)], axis=1)
+    all_nodes = jnp.concatenate([rest_payload, child_payload], axis=1)
     order = jnp.argsort(all_lbs, axis=1)
     sorted_lbs = jnp.take_along_axis(all_lbs, order, axis=1)
     keep_lbs = sorted_lbs[:, :C]
-    keep_nodes = jnp.take_along_axis(all_nodes, order[:, :C, None], axis=1)
+    keep_payload = jnp.take_along_axis(all_nodes, order[:, :C, None],
+                                       axis=1)
+    keep_nodes = keep_payload[..., :4]
     dropped = sorted_lbs[:, C:]
     min_drop = jnp.min(jnp.where(jnp.isfinite(dropped), dropped, INF),
                        axis=1)
@@ -284,6 +319,10 @@ def _packed_iter(cfg: GoICPConfig, size: int, sn, ss, pm, tab, pside,
 
     keep_nodes = jnp.where(done[:, None, None], nodes, keep_nodes)
     keep_lbs = jnp.where(done[:, None], lbs, keep_lbs)
+    sv_new = None
+    if sv is not None:
+        sv_new = jnp.where(done[:, None, None], sv, keep_payload[..., 4:])
+        sv_new = jnp.where(live[:, None, None], sv_new, sv)
 
     n_evals = jnp.sum(valid, axis=1).astype(jnp.float32)     # per lane
 
@@ -301,7 +340,7 @@ def _packed_iter(cfg: GoICPConfig, size: int, sn, ss, pm, tab, pside,
     # dead slots (padding when fewer than S lanes are live) keep state
     sn_new = jnp.where(live[:, None, None], sn_new, sn)
     ss_new = jnp.where(live[:, None], ss_new, ss)
-    return sn_new, ss_new
+    return sn_new, ss_new, sv_new
 
 
 # ---------------------------------------------------------------------------
@@ -312,7 +351,7 @@ def _transition(pair_batch: PairData, cfg: GoICPConfig, s: dict,
                 need_trans, W: int, L: int) -> dict:
     inner, pts_rot, mrd, ss = _inner_view(s, W, L)
     fstate = {k: v for k, v in s.items()
-              if k not in ("sn", "ss", "pm")}
+              if k not in ("sn", "ss", "pm", "sv")}
     fstate.update(inner=inner, pts_rot=pts_rot, mrd=mrd)
     out = fs._transition_batch(pair_batch, cfg, fstate, need_trans)
     transitioned = need_trans & ~s["converged"]
@@ -326,9 +365,11 @@ def _transition(pair_batch: PairData, cfg: GoICPConfig, s: dict,
     zeros_e = jnp.where(transitioned[:, None], 0.0, ss[..., _EVALS])
     zeros_g = jnp.where(transitioned[:, None], 0.0, ss[..., _GSURV])
     zeros_c = jnp.where(transitioned[:, None], 0.0, ss[..., _CHEMC])
-    sn, ss_new, pm = _pack_inner(inner_new, pts_new, mrd_new, zeros,
-                                 zeros_e, zeros_g, zeros_c)
+    sn, ss_new, pm, sv = _pack_inner(inner_new, pts_new, mrd_new, zeros,
+                                     zeros_e, zeros_g, zeros_c)
     out.update(sn=sn, ss=ss_new, pm=pm)
+    if sv is not None:
+        out["sv"] = sv
     return out
 
 
@@ -369,10 +410,23 @@ def packed_run_chunk(pair_batch: PairData, cfg: GoICPConfig, state: dict,
         check = (g % TE == 0) | (jnp.sum(lane_live0) < S)
         need_trans = _pair_inner_done(s, cfg, W, L) & live_pair & check
 
-        s = jax.lax.cond(
-            jnp.any(need_trans),
-            lambda st: _transition(pair_batch, cfg, st, need_trans, W, L),
-            lambda st: st, s)
+        K = min(cfg.trans_slots, W) if cfg.trans_slots > 0 else W
+
+        def do_trans(st):
+            if K >= W:
+                return _transition(pair_batch, cfg, st, need_trans, W, L)
+            # slot-gathered transition (see fused_stream.fused_run_chunk):
+            # serve <= K transitioning pairs per event instead of paying
+            # the W-wide vmapped block; unserved pairs wait (idempotent
+            # completed inner state), per-pair trajectories unchanged
+            _, idx = jax.lax.top_k(need_trans.astype(jnp.int32), K)
+            sub_s = jax.tree_util.tree_map(lambda x: x[idx], st)
+            sub_p = jax.tree_util.tree_map(lambda x: x[idx], pair_batch)
+            sub_o = _transition(sub_p, cfg, sub_s, need_trans[idx], K, L)
+            return jax.tree_util.tree_map(
+                lambda full, so: full.at[idx].set(so), st, sub_o)
+
+        s = jax.lax.cond(jnp.any(need_trans), do_trans, lambda st: st, s)
 
         # ---- slot selection: S least-advanced live lanes (flat views
         # of the pair-major bundles; the reshapes are free) ----
@@ -381,6 +435,8 @@ def packed_run_chunk(pair_batch: PairData, cfg: GoICPConfig, state: dict,
         snf = s["sn"].reshape(WL, C, 5)
         ssf = s["ss"].reshape(WL, _SS_W)
         pmf = s["pm"].reshape(WL, ndp, 4)
+        svf = s["sv"].reshape(WL, C, s["sv"].shape[-1]) \
+            if "sv" in s else None
         live_pair2 = ~s["converged"] & (s["it"] < cfg.max_outer_steps)
         lane_live = (ssf[:, _DONE] == 0) \
             & (ssf[:, _IT] < cfg.inner_max_iters) \
@@ -390,13 +446,17 @@ def packed_run_chunk(pair_batch: PairData, cfg: GoICPConfig, state: dict,
         spair = slots // L
         live = lane_live[slots]
 
-        sn_n, ss_n = _packed_iter(
+        sn_n, ss_n, sv_n = _packed_iter(
             cfg, size, snf[slots], ssf[slots], pmf[slots],
             tabs["tab"][spair], tabs["pside"][spair], tabs["cons"][spair],
-            tabs["sse"][spair], live)
+            tabs["sse"][spair], live,
+            sv=svf[slots] if svf is not None else None)
         s = dict(s,
                  sn=snf.at[slots].set(sn_n).reshape(s["sn"].shape),
                  ss=ssf.at[slots].set(ss_n).reshape(s["ss"].shape))
+        if sv_n is not None:
+            s["sv"] = svf.at[slots].set(sv_n).reshape(
+                (W, L) + svf.shape[1:])
         return (s, g + 1)
 
     def cond(carry):
@@ -415,7 +475,7 @@ def packed_finalize(state: dict) -> DeviceResult:
     L = state["active"].shape[1]
     inner, pts_rot, mrd, _ = _inner_view(state, W, L)
     fstate = {k: v for k, v in state.items()
-              if k not in ("sn", "ss", "pm")}
+              if k not in ("sn", "ss", "pm", "sv")}
     fstate.update(inner=inner, pts_rot=pts_rot, mrd=mrd)
     res = fs.fused_finalize(fstate)
     # inner_iters: total lane-iterations (the packed work metric) =
@@ -427,6 +487,19 @@ def packed_finalize(state: dict) -> DeviceResult:
 @functools.lru_cache(maxsize=16)
 def _jit_init(cfg: GoICPConfig):
     return jax.jit(lambda pb: packed_init(pb, cfg))
+
+
+def _packed_inflight_np(state) -> np.ndarray:
+    """(W,) in-flight inner lower bound from the packed bundles (host-side
+    progress telemetry; mirrors fused_stream._fused_inflight_np — ADVICE
+    r4: without it packed progress rows overstated the proven bound)."""
+    ss = np.asarray(state["ss"])
+    sn = np.asarray(state["sn"])
+    lane_lb = np.minimum(ss[..., _THR], ss[..., _MIND])
+    done = ss[..., _DONE] > 0
+    lane_lb = np.where(done, lane_lb,
+                       np.minimum(lane_lb, sn[..., 4].min(-1)))
+    return np.where(np.asarray(state["active"]), lane_lb, np.inf).min(-1)
 
 
 def register_packed_stream(pairs, cfg: GoICPConfig, width: int = 8,
@@ -446,4 +519,5 @@ def register_packed_stream(pairs, cfg: GoICPConfig, width: int = 8,
         progress=progress, checkpoint_path=checkpoint_path, resume=resume,
         max_chunks=max_chunks, mesh=None,
         init_fn=_jit_init, run_chunk=packed_run_chunk,
-        finalize=packed_finalize, checkpoint_every=checkpoint_every)
+        finalize=packed_finalize, inflight_fn=_packed_inflight_np,
+        checkpoint_every=checkpoint_every)

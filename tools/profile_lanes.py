@@ -29,9 +29,8 @@ def main():
                                            rot_uncertainty)
     from goicp_tpu.search.inner import inner_bnb
 
-    cfg = GoICPConfig.from_file("/root/reference/config.txt")
-    cfg = dataclasses.replace(cfg, rot_batch=1, trans_capacity=128,
-                              trans_pop=8, icp_seeds=4)
+    from goicp_tpu.bench.measure import bench_shape
+    cfg = bench_shape(GoICPConfig.from_file("/root/reference/config.txt"))
     pairs = build_batch(cfg, 4)
     pair = jax.tree_util.tree_map(lambda x: x, pairs[1])   # pair 2 (hard)
     print(f"backend={jax.default_backend()}  Nd(padded)={pair.n_data_padded}"
@@ -54,6 +53,11 @@ def main():
         timed(f"L={L} chem_corner_values ({Q} corners)",
               lambda p, c: chem_corner_values(pair, cfg, p, c),
               pts, corners, n=400)
+        q19 = P * 19
+        corners19 = corners[:, :q19]
+        timed(f"L={L} chem_corner_values ({q19} corners, reuse path)",
+              lambda p, c: chem_corner_values(pair, cfg, p, c),
+              pts, corners19, n=400)
 
         def chem_glue(p, c):
             vals = chem_corner_values(pair, cfg, p, c)

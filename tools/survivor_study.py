@@ -42,10 +42,8 @@ def main():
     from goicp_tpu.config import GoICPConfig
     from goicp_tpu.search.device_engine import register_device
 
-    cfg0 = GoICPConfig.from_file(f"{measure.REF}/config.txt")
-    cfg0 = dataclasses.replace(cfg0, rot_batch=1, trans_capacity=128,
-                               icp_seeds=4, max_outer_steps=12000,
-                               margin_frac=0.9)
+    cfg0 = measure.bench_shape(
+        GoICPConfig.from_file(f"{measure.REF}/config.txt"))
     if args.mse is not None:
         cfg0 = dataclasses.replace(cfg0, MSEThresh=args.mse)
 

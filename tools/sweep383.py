@@ -3,12 +3,22 @@ stream engine, with JSONL output, checkpoint/resume, and an optional
 mid-run kill to prove resume at scale.
 
 The reference sweeps 383 similar pairs (bo1_GoICP.py:40-54, one process
-per pair); only 2 real BO1 pairs ship with the repo, so the pool is the
-two real golden pairs + 381 synthetic pairs spanning the BO1 size
-envelope (bench.measure.synthetic_pool semantics, larger draw).
+per pair) and carries the 383-pair dissimilar TSV for the trimmed
+workload (the disabled loop at bo1_GoICP.py:56-68 + trimFraction,
+READMEGo-ICP.md:82-84).  Only 2 real BO1 pairs ship with the repo, so
+the similar pool is the two real golden pairs + 381 synthetic pairs in
+the BO1 size envelope (bench.measure.synthetic_pool semantics, larger
+draw); --trimmed switches to 383 noisy/outlier pairs registered with
+trimFraction=0.1 (bench.measure.synthetic_pool_trimmed semantics) —
+the dissimilar-style workload class at full dataset scale.
+
+Quality gates (VERDICT r4 weak #3): every pair must converge; the real
+golden pair keeps BOTH its error band AND its golden compatibility
+count (133 +- 2) INSIDE the sweep — the same bar the bench enforces.
 
 Usage:
     python tools/sweep383.py [--n 383] [--width 3] [--out sweep383.jsonl]
+        [--trimmed]               # 383-pair trimmed (dissimilar-style)
         [--kill-after-chunks N]   # exits after N chunks (state saved);
                                   # re-run WITHOUT the flag to resume
 """
@@ -33,8 +43,11 @@ def main():
     ap.add_argument("--n", type=int, default=383)
     ap.add_argument("--width", type=int, default=2)
     ap.add_argument("--chunk-steps", type=int, default=512)
-    ap.add_argument("--out", default=os.path.join(REPO, "sweep383.jsonl"))
-    ap.add_argument("--ckpt", default=os.path.join(REPO, ".sweep383.npz"))
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--ckpt", default=None)
+    ap.add_argument("--trimmed", action="store_true",
+                    help="383-pair trimmed dissimilar-style pool "
+                         "(trimFraction=0.1) instead of the similar pool")
     ap.add_argument("--kill-after-chunks", type=int, default=None)
     ap.add_argument("--verbose", action="store_true",
                     help="per-chunk progress prints (each costs a window "
@@ -42,21 +55,34 @@ def main():
     ap.add_argument("--ckpt-every", type=int, default=8)
     args = ap.parse_args()
 
-    from goicp_tpu.bench.measure import build_batch
+    from goicp_tpu.bench.measure import (build_batch, build_trimmed_batch,
+                                         TRIM_FRACTION, bench_shape)
     from goicp_tpu.config import GoICPConfig
     from goicp_tpu.search.fused_stream import register_fused_stream
 
+    tag = "trimmed" if args.trimmed else "similar"
+    if args.out is None:
+        args.out = os.path.join(
+            REPO, "sweep383_trimmed.jsonl" if args.trimmed
+            else "sweep383.jsonl")
+    if args.ckpt is None:
+        args.ckpt = os.path.join(REPO, f".sweep383_{tag}.npz")
+
     cfg = GoICPConfig.from_file("/root/reference/config.txt")
-    cfg = dataclasses.replace(cfg, rot_batch=1, trans_capacity=128,
-                              icp_seeds=4, max_outer_steps=12000,
-                              margin_frac=0.9)
+    cfg = bench_shape(cfg)
+    if args.trimmed:
+        cfg = dataclasses.replace(cfg, trimFraction=TRIM_FRACTION)
 
     t0 = time.time()
-    pairs = build_batch(cfg, args.n)
+    if args.trimmed:
+        pairs = build_trimmed_batch(cfg, args.n)
+        names = [f"trm{i:02d}" for i in range(args.n)]
+    else:
+        pairs = build_batch(cfg, args.n)
+        names = ["similar1_2x86_3->1eq2_6", "similar2_2ktd_1->4imo_2"] + \
+            [f"syn{i:02d}" for i in range(args.n - 2)]
     prep_s = time.time() - t0
-    names = ["similar1_2x86_3->1eq2_6", "similar2_2ktd_1->4imo_2"] + \
-        [f"syn{i:02d}" for i in range(args.n - 2)]
-    print(f"prepared {len(pairs)} pairs in {prep_s:.1f}s", flush=True)
+    print(f"prepared {len(pairs)} {tag} pairs in {prep_s:.1f}s", flush=True)
 
     def progress(p):
         inflight = [r for r in p["rows"] if not r["dead"]]
@@ -98,14 +124,22 @@ def main():
 
     conv = np.asarray(out.converged)
     evals = int(np.sum(np.asarray(out.evals)))
-    print(f"SWEEP DONE: {args.n} pairs, registration wall {reg_s:.1f}s "
-          f"= {args.n / reg_s:.3f} pairs/s, prep {prep_s:.1f}s, "
-          f"{int(conv.sum())}/{args.n} converged, "
+    print(f"SWEEP DONE ({tag}): {args.n} pairs, registration wall "
+          f"{reg_s:.1f}s = {args.n / reg_s:.3f} pairs/s, prep "
+          f"{prep_s:.1f}s, {int(conv.sum())}/{args.n} converged, "
           f"{evals} bound evals ({evals / reg_s:.0f}/s); "
           f"rows -> {args.out}", flush=True)
-    # parity: the two real pairs keep their golden behavior inside the sweep
-    eps1 = cfg.MSEThresh * 238
-    assert abs(float(out.error[0]) - 8.45388) < eps1, float(out.error[0])
+    assert conv.all(), f"unconverged pairs: {np.where(~conv)[0].tolist()}"
+    if not args.trimmed:
+        # golden parity INSIDE the sweep — the same bar as the bench
+        # (bench/measure._check_parity): error band AND compat count
+        eps1 = cfg.MSEThresh * 238
+        assert abs(float(out.error[0]) - 8.45388) < eps1, \
+            float(out.error[0])
+        comp1 = 238 - int(out.opt_comp[0])
+        assert abs(comp1 - 133) <= 2, \
+            (f"pair-1 compat {comp1} != golden 133+-2 — basin swap "
+             f"inside the sweep (error {float(out.error[0]):.4f})")
     if os.path.exists(args.ckpt):
         os.unlink(args.ckpt)
     return 0
