@@ -108,18 +108,20 @@ def supports(size: int, c_pad: int, n_norm: int) -> bool:
 
 
 _GEOM_C_CHUNK = 512      # cells per in-kernel min chunk (VMEM work tile)
-_GEOM_C_MAX = 65536      # hard envelope: the (Cp,6) aug table must stay a
-                         # comfortable VMEM resident (64k cells = 1.5 MB).
-                         # Covers the bunny demo's 300^3 grid (~20-35k
-                         # occupied cells), which previously fell back to
-                         # the XLA gather path with its documented
-                         # sporadic v5e kernel-fault history (VERDICT r4
-                         # missing-2).  The O(C)-per-lookup recompute is
-                         # slower per eval than a (working) gather beyond
-                         # a few k cells, but demo-scale searches are
-                         # LATENCY-bound (hundreds of evals), where the
-                         # crash-free kernel path measures at parity —
-                         # see PERF.md round 5.
+_GEOM_C_MAX = 65536      # CAPABILITY envelope: the (Cp,6) aug table must
+                         # stay a comfortable VMEM resident (64k cells =
+                         # 1.5 MB).  Covers the bunny demo's 300^3 grid
+                         # (~20-35k occupied cells), which previously had
+                         # NO kernel path at all and depended on the XLA
+                         # gather path with its documented sporadic v5e
+                         # kernel-fault history (VERDICT r4 missing-2).
+                         # Measured on the bunny (35k cells, 856 evals,
+                         # device-resident pair): kernel 1.09 s warm vs
+                         # gather 0.58 s — a 1.9x demo-scale premium for
+                         # ZERO exposure to the gather path's documented
+                         # sporadic v5e kernel faults, so the kernel is
+                         # the default; GOICP_KERNEL=xla opts into the
+                         # faster gather (PERF.md round 5).
 
 
 def supports_geom(size: int, c_pad: int, n_norm: int) -> bool:
@@ -211,24 +213,50 @@ def _min_d2(clamped, aug_g):
     if c_pad <= _GEOM_C_CHUNK:
         return one(aug_g) + vn
 
+    # STATIC Python unroll over cell chunks (c_pad is trace-time known;
+    # Mosaic does not lower dynamic_slice on VMEM values inside a
+    # fori_loop, and static slices let each chunk's (cc, T) work tile
+    # retire before the next is produced).  _pad_cells parks padding at
+    # -2S, so a ragged final chunk is safe to take at full width from
+    # the padded table.
     cc = _GEOM_C_CHUNK
-    n_ch = -(-c_pad // cc)
-
-    def body(i, best):
-        a = jax.lax.dynamic_slice(aug_g, (i * cc, 0), (cc, 6))
-        return jnp.minimum(best, one(a))
-
-    best = jax.lax.fori_loop(
-        0, n_ch, body, jnp.full((1, clamped.shape[1]), jnp.inf, jnp.float32))
+    best = one(aug_g[0:cc])
+    for i in range(1, -(-c_pad // cc)):
+        lo = min(i * cc, c_pad - cc)
+        best = jnp.minimum(best, one(aug_g[lo:lo + cc]))
     return best + vn
 
 
 def _expand_seg(v, nd: int):
     """(r, bc) per-node values -> (r, bc*nd) point-major segments, EXACT
     (broadcast + reshape only; a one-hot matmul would round arbitrary f32
-    values under reduced-precision MXU passes)."""
+    values under reduced-precision MXU passes).
+
+    bc < 8: Mosaic cannot collapse a second-minor dim smaller than the
+    sublane count ((r, 2, 1024) -> (r, 2048) fails "Unsupported
+    reshape" — hit at demo-grid shapes where the VMEM budget caps the
+    node chunk at 2); a static per-node concat of plain broadcasts is
+    layout-trivial and equally exact."""
     r, bc = v.shape
+    if bc < 8:
+        return jnp.concatenate(
+            [jnp.broadcast_to(v[:, j:j + 1], (r, nd)) for j in range(bc)],
+            axis=1)
     return jnp.broadcast_to(v[:, :, None], (r, bc, nd)).reshape(r, bc * nd)
+
+
+def _seg_sum_rows(v, bc: int, nd: int):
+    """(r, bc*nd) -> (r, bc) per-node row sums, exact f32 (lane-axis
+    reduction after an 8-aligned reshape; static per-node slice unroll
+    when bc < 8 — same Mosaic reshape limit as _expand_seg)."""
+    r = v.shape[0]
+    if bc < 8:
+        return jnp.concatenate(
+            [jnp.sum(v[:, j * nd:(j + 1) * nd], axis=1, keepdims=True)
+             for j in range(bc)], axis=1)
+    if r == 1:
+        return jnp.sum(v.reshape(bc, nd), axis=1)[None, :]
+    return jnp.sum(v.reshape(r, bc, nd), axis=2)
 
 
 def _kth_select(vals, bc: int, nd: int, k_f):
@@ -254,7 +282,7 @@ def _kth_select(vals, bc: int, nd: int, k_f):
     r = vals.shape[0]
 
     def count(sel):                                          # (R,T)->(R,bc)
-        return jnp.sum(sel.reshape(r, bc, nd), axis=2)
+        return _seg_sum_rows(sel, bc, nd)
 
     def expand(v):                                           # (R,bc)->(R,T)
         return _expand_seg(v, nd)
@@ -315,8 +343,9 @@ def _geom_kernel(consts_ref, pts_ref, cen_ref, wid_ref, ru_ref, w_ref,
         # default-precision MXU dot against the 0/1 segment matrix rounds
         # them to bf16 (measured ~1e-2 drift vs the XLA sum on-chip),
         # while a precision=HIGHEST dot costs ~110us extra per call
-        # (multi-pass).  A lane-axis row sum after reshape keeps full f32.
-        return jnp.sum(v.reshape(bc, nd), axis=1)[None, :]   # (1, bc)
+        # (multi-pass).  A lane-axis row sum after reshape keeps full f32
+        # (static slice unroll below 8 nodes — Mosaic reshape limit).
+        return _seg_sum_rows(v, bc, nd)                      # (1, bc)
 
     def f(v):
         return v * v if norm == 2 else v

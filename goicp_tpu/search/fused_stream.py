@@ -318,12 +318,20 @@ def _transition_batch(pair_batch: PairData, cfg: GoICPConfig, s: dict,
         pair_batch, cfg, s, h, r, mask, bnb_improved, icp_improved)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg", "eager"))
 def fused_run_chunk(pair_batch: PairData, cfg: GoICPConfig, state: dict,
-                    steps) -> dict:
+                    steps, eager: bool = False) -> dict:
     """Advance the fused window by at most `steps` GLOBAL iterations (each
     one inner-BnB iteration for every in-flight pair + any due outer
-    transitions).  Resumable: feed the returned state back in."""
+    transitions).  Resumable: feed the returned state back in.
+
+    eager=True ALSO returns as soon as any row NEWLY finishes (converged
+    or retired at max_outer_steps), so the stream driver refills the row
+    immediately instead of letting it burn masked kernel volume until the
+    chunk boundary (at width 2 an idle row is HALF the window's volume
+    for up to chunk_steps iterations).  Pure host pacing — per-pair state
+    math is identical either way."""
+    fin0 = state["converged"] | (state["it"] >= cfg.max_outer_steps)
     vinner = jax.vmap(_inner_step, in_axes=(0, None, 0))
     vcomplete = jax.vmap(_inner_complete, in_axes=(None, 0))
     W = int(pair_batch.data.shape[0])
@@ -365,8 +373,11 @@ def fused_run_chunk(pair_batch: PairData, cfg: GoICPConfig, state: dict,
 
     def cond(carry):
         s, g = carry
-        unfinished = (~s["converged"]) & (s["it"] < cfg.max_outer_steps)
-        return jnp.any(unfinished) & (g < steps)
+        finished = s["converged"] | (s["it"] >= cfg.max_outer_steps)
+        go = jnp.any(~finished) & (g < steps)
+        if eager:
+            go = go & ~jnp.any(finished & ~fin0)
+        return go
 
     s, _ = jax.lax.while_loop(cond, body, (state, jnp.int32(0)))
     return s
@@ -545,7 +556,8 @@ def register_fused_stream(pairs, cfg: GoICPConfig, width: int = 8,
                           checkpoint_path: str | None = None,
                           resume: bool = False,
                           max_chunks: int | None = None,
-                          mesh=None, checkpoint_every: int = 1):
+                          mesh=None, checkpoint_every: int = 1,
+                          eager: bool = False):
     """Continuous-batching registration over the fused engine: a window of
     `width` pairs advances in chunks of `chunk_steps` GLOBAL iterations;
     converged pairs retire at chunk boundaries and fresh pairs refill
@@ -570,17 +582,26 @@ def register_fused_stream(pairs, cfg: GoICPConfig, width: int = 8,
     the other devices work on the straggler's own lanes instead of
     idling.
 
+    eager: end a chunk early when a row newly finishes so it refills
+    immediately (see fused_run_chunk) — pure host pacing, identical
+    per-pair results.  Default OFF: measured a 20% REGRESSION on the
+    64-pair stream through the axon tunnel (each early exit pays the
+    ~26 ms host dispatch floor + refill transfers, which exceeds the
+    masked idle volume it reclaims); revisit on locally-attached chips.
+
     Returns DeviceResult with the batch axis in original pair order."""
     straggler_fn = None
     if mesh is not None and "search" in tuple(mesh.axis_names) \
             and mesh.shape["search"] > 1:
         def straggler_fn(pair1, row_state):
             return straggler_to_lane_sharded(pair1, cfg, row_state, mesh)
+    run_chunk = functools.partial(fused_run_chunk, eager=True) \
+        if eager else fused_run_chunk
     return _stream_driver(pairs, cfg, width=width, chunk_steps=chunk_steps,
                           progress=progress,
                           checkpoint_path=checkpoint_path, resume=resume,
                           max_chunks=max_chunks, mesh=mesh,
-                          init_fn=_jit_init, run_chunk=fused_run_chunk,
+                          init_fn=_jit_init, run_chunk=run_chunk,
                           finalize=fused_finalize,
                           inflight_fn=_fused_inflight_np,
                           checkpoint_every=checkpoint_every,

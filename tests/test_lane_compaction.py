@@ -44,6 +44,13 @@ def test_compaction_bit_identical(fused, unc):
                                   jnp.float32(50.0),
                                   with_rot_uncertainty=unc, fused=fused))
     for f in r1._fields:
+        if f == "chem_corners":
+            # kernel-VOLUME counter: compaction legitimately shrinks the
+            # evaluated lane batch, so the chem kernel does less work —
+            # that is the point of compaction.  Search results and all
+            # search counters above must still be bit-identical.
+            assert int(r1.chem_corners) <= int(r0.chem_corners)
+            continue
         np.testing.assert_array_equal(np.asarray(getattr(r1, f)),
                                       np.asarray(getattr(r0, f)),
                                       err_msg=f)

@@ -75,6 +75,27 @@ def test_geometric_kernel_oob_extension():
                                rtol=1e-6, atol=1e-4)
 
 
+def test_geometric_kernel_chunked_cells_matches_xla():
+    """c_pad > _GEOM_C_CHUNK exercises the static-unroll chunked min
+    (the large-grid envelope behind the bunny demo's Pallas path; the
+    ragged last chunk overlaps — idempotent under min)."""
+    pair, cfg = _pair_and_cfg()
+    rng = np.random.default_rng(13)
+    pts, centers, widths = _lanes(pair, rng)
+    ub_x, lb_x = ev.geometric_bounds(pair, cfg, pts, centers, widths, None)
+    cells = np.asarray(pair.grid.cell_coords)
+    cells_big = np.concatenate(
+        [cells, np.full((1200 - len(cells), 3), -9, cells.dtype)])
+    ub_p, lb_p = geometric_bounds_kernel(
+        pts, centers, widths, None, pair.weights, jnp.asarray(cells_big),
+        pair.grid.consts, size=pair.grid.geom.size, norm=2,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(ub_p), np.asarray(ub_x),
+                               rtol=0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(lb_p), np.asarray(lb_x),
+                               rtol=0, atol=1e-5)
+
+
 def test_chem_incomp_kernel_matches_xla():
     pair, cfg = _pair_and_cfg()
     rng = np.random.default_rng(7)

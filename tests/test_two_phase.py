@@ -34,7 +34,7 @@ def _cfg(**kw):
     return GoICPConfig(**base)
 
 
-def _pair(cfg, seed=3, n=48, m=52):
+def _pair(cfg, seed=3, n=48, m=52, pad=False):
     rng = np.random.default_rng(seed)
     model = rng.uniform(-0.7, 0.7, size=(m, 3))
     R = rodrigues_np(rng.uniform(-2.0, 2.0, 3))
@@ -42,7 +42,9 @@ def _pair(cfg, seed=3, n=48, m=52):
     data = (model[:n] - tv) @ R
     dp = rng.integers(0, 9, n).astype(np.int32)
     mp = rng.integers(0, 9, m).astype(np.int32)
-    return prepare_pair(data, model, dp, mp, cfg)
+    kw = dict(pad_data_to=64, pad_model_to=64, pad_cells=64,
+              pad_points=8) if pad else {}
+    return prepare_pair(data, model, dp, mp, cfg, **kw)
 
 
 @pytest.mark.parametrize("fused_inner", [1, 0])
@@ -104,11 +106,10 @@ def test_counters_present_without_chem():
 
 def test_fused_stream_two_phase_matches_device():
     from goicp_tpu.search.fused_stream import register_fused_stream
-    full = None
     cfg = _cfg(chem_survivors=16, rot_batch=1, trans_pop=2,
                trans_capacity=32)
-    del full
-    pairs = [_pair(cfg, seed=s) for s in (3, 5)]
+    # stacking a stream window requires a shared shape bucket
+    pairs = [_pair(cfg, seed=s, pad=True) for s in (3, 5)]
     out = register_fused_stream(pairs, cfg, width=2, chunk_steps=64)
     for i, p in enumerate(pairs):
         single = jax.device_get(register_device(p, cfg))

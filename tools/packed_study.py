@@ -25,12 +25,20 @@ def main():
     from goicp_tpu.search.fused_stream import register_fused_stream
     from goicp_tpu.search.packed_stream import register_packed_stream
 
-    base = GoICPConfig.from_file(f"{REF}/config.txt")
-    cfg = dataclasses.replace(base, rot_batch=1, trans_capacity=128,
-                              trans_pop=8, icp_seeds=4, margin_frac=0.9)
+    from goicp_tpu.bench.measure import bench_shape
+    cfg = bench_shape(GoICPConfig.from_file(f"{REF}/config.txt"))
+    overrides = {}
+    for a in sys.argv[1:]:
+        if "=" in a:
+            k, v = a.split("=", 1)
+            overrides[k] = float(v) if "." in v else int(v)
+    if overrides:
+        cfg = dataclasses.replace(cfg, **overrides)
+        print(f"overrides={overrides}", flush=True)
     pairs = build_batch(cfg, BATCH)
 
-    runs = sys.argv[1:] or ["fused", "8x8", "16x8", "16x16", "32x16"]
+    runs = [a for a in sys.argv[1:] if "=" not in a] \
+        or ["fused", "8x8", "16x8", "16x16", "32x16"]
     for spec in runs:
         import os
         chunk_count = [0]
