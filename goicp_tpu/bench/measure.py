@@ -168,14 +168,55 @@ def _bucket_and_prepare(raw, cfg):
         for data, model, dp, mp in raw]
 
 
-def build_batch(cfg, n_total: int = BATCH):
-    """The two real golden pairs + synthetic fill, shape-bucketed together
-    and made dynamic-count so they share one compiled program."""
+def _bucket_and_prepare_multi(raw, cfg, max_buckets: int = 3):
+    """Shape-BUCKETED prep (round 5): pairs grouped by their own kernel
+    dims instead of one pool-max bucket — the hot kernels' work tile is
+    (pad_cells x ceil(pad_data, 128)) and a pool-max bucket wastes 1.8x
+    mean volume (2.7x on the eval-heavy pair 2).  One fused stream runs
+    per bucket; trajectories are padding-invariant so per-pair results
+    and eval counts are IDENTICAL to the single-bucket protocol
+    (tools/bucket_study.py checks this on-chip; measured 64-pair wall
+    34.5 -> 27.1 s).  Returns [(pairs, original_indices)]."""
+    from goicp_tpu.pipeline.prepare import (bucket_dims, make_count_dynamic,
+                                            plan_buckets, prepare_pair)
+    dims_list = [bucket_dims(m, len(d), len(m), cfg) for d, m, _, _ in raw]
+    plan = plan_buckets(dims_list, max_buckets=max_buckets)
+    return [([make_count_dynamic(prepare_pair(*raw[i], cfg, **bd))
+              for i in idxs], idxs) for bd, idxs in plan]
+
+
+def _reassemble(outs, n: int):
+    """[(original_indices, DeviceResult batch)] -> DeviceResult rows in
+    original pair order (the per-bucket streams' inverse permutation)."""
+    from goicp_tpu.search.device_engine import DeviceResult
+    rows = [None] * n
+    for idxs, out in outs:
+        for j, i in enumerate(idxs):
+            rows[i] = tuple(np.asarray(getattr(out, f))[j]
+                            for f in DeviceResult._fields)
+    return DeviceResult(*(np.stack([r[k] for r in rows])
+                          for k in range(len(DeviceResult._fields))))
+
+
+def _similar_raw(cfg, n_total: int = BATCH):
     raw = [_load_real_pair("2x86_3", "1eq2_6", cfg),    # BO1 pair 1
            _load_real_pair("2ktd_1", "4imo_2", cfg)]    # BO1 pair 2
     raw += [_normalized_synthetic(e)
             for e in synthetic_pool(n_total - len(raw))]
-    return _bucket_and_prepare(raw, cfg)
+    return raw
+
+
+def build_batch(cfg, n_total: int = BATCH):
+    """The two real golden pairs + synthetic fill, shape-bucketed together
+    and made dynamic-count so they share one compiled program."""
+    return _bucket_and_prepare(_similar_raw(cfg, n_total), cfg)
+
+
+def build_batch_buckets(cfg, n_total: int = BATCH, max_buckets: int = 3):
+    """The similar workload, shape-bucketed into up to max_buckets groups
+    (see _bucket_and_prepare_multi) -> [(pairs, original_indices)]."""
+    return _bucket_and_prepare_multi(_similar_raw(cfg, n_total), cfg,
+                                     max_buckets)
 
 
 def build_trimmed_batch(cfg, n_total: int = TRIM_BATCH):
@@ -186,6 +227,14 @@ def build_trimmed_batch(cfg, n_total: int = TRIM_BATCH):
     raw = [_normalized_synthetic(e)
            for e in synthetic_pool_trimmed(n_total)]
     return _bucket_and_prepare(raw, cfg)
+
+
+def build_trimmed_batch_buckets(cfg, n_total: int = TRIM_BATCH,
+                                max_buckets: int = 3):
+    """Trimmed workload, shape-bucketed -> [(pairs, original_indices)]."""
+    raw = [_normalized_synthetic(e)
+           for e in synthetic_pool_trimmed(n_total)]
+    return _bucket_and_prepare_multi(raw, cfg, max_buckets)
 
 
 def _check_parity(out, cfg, batch_pairs):
@@ -258,30 +307,37 @@ def main(out_path: str):
         from goicp_tpu.search.fused_stream import register_fused_stream
 
         def run():
-            # cross-pair fused stream: ONE while_loop advances every
-            # in-flight pair by one inner-BnB iteration per step, outer
-            # transitions fire per pair asynchronously (the round-2
-            # lockstep-coupled vmapped stream cost sum-of-window-maxes;
-            # measured round 3: fused width=2 beats both it and wider
-            # fused windows — the engine is kernel-volume-bound, and 2
-            # rows keep sum(other pairs' depth)/width under the hardest
-            # pair's own sequential depth; see the FUSED_WIDTH table)
-            return register_fused_stream(pairs, cfg, width=FUSED_WIDTH,
-                                         chunk_steps=FUSED_CHUNK)
+            # cross-pair fused stream, one per SHAPE BUCKET: every stream's
+            # while_loop advances its in-flight pairs by one inner-BnB
+            # iteration per step, outer transitions fire per pair
+            # asynchronously (round 3: fused width=2 beats wider windows —
+            # the engine is kernel-volume-bound); round 5 groups pairs by
+            # their own kernel dims (plan_buckets) instead of one pool-max
+            # bucket — identical per-pair trajectories, 1.8x mean kernel
+            # volume removed (64-pair wall 34.5 -> 27.1 s on-chip A/B,
+            # tools/bucket_study.py)
+            return [(idxs, register_fused_stream(bp, cfg, width=FUSED_WIDTH,
+                                                 chunk_steps=FUSED_CHUNK))
+                    for bp, idxs in buckets]
 
-        pairs = build_batch(cfg, BATCH)
-        out = run()                                # warm (compile) + check
-        _check_parity(out, cfg, pairs)
+        buckets = build_batch_buckets(cfg, BATCH)
+        ordered_pairs = [None] * BATCH
+        for bp, idxs in buckets:
+            for j, i in enumerate(idxs):
+                ordered_pairs[i] = bp[j]
+        out = _reassemble(run(), BATCH)            # warm (compile) + check
+        _check_parity(out, cfg, ordered_pairs)
         wall = float("inf")
         evals = 0
         for _ in range(2):                         # steady-state: best of 2
             t0 = time.time()
-            out = run()
+            outs = run()
             w = time.time() - t0
+            out = _reassemble(outs, BATCH)
             if w < wall:
                 wall = w
                 evals = int(np.sum(np.asarray(out.evals)))
-            _check_parity(out, cfg, pairs)
+            _check_parity(out, cfg, ordered_pairs)
         batch = BATCH
 
     result = {"pairs_per_s": batch / wall,
@@ -303,15 +359,21 @@ def main(out_path: str):
         # where the similar pool's easy pairs lose to merge cost)
         cfg_t = _dc.replace(cfg, trimFraction=TRIM_FRACTION,
                             trans_capacity=256)
-        tpairs = build_trimmed_batch(cfg_t, TRIM_BATCH)
-        tout = register_fused_stream(tpairs, cfg_t, width=FUSED_WIDTH,
-                                     chunk_steps=FUSED_CHUNK)   # warm
+        tbuckets = build_trimmed_batch_buckets(cfg_t, TRIM_BATCH)
+
+        def trun():
+            return [(idxs, register_fused_stream(bp, cfg_t,
+                                                 width=FUSED_WIDTH,
+                                                 chunk_steps=FUSED_CHUNK))
+                    for bp, idxs in tbuckets]
+
+        trun()                                     # warm
         twall = float("inf")
         for _ in range(2):                         # steady-state: best of 2
             t0 = time.time()
-            tout = register_fused_stream(tpairs, cfg_t, width=FUSED_WIDTH,
-                                         chunk_steps=FUSED_CHUNK)
+            touts = trun()
             twall = min(twall, time.time() - t0)
+            tout = _reassemble(touts, TRIM_BATCH)
             conv = np.asarray(tout.converged)
             assert conv.all(), \
                 f"unconverged trimmed pairs: {np.where(~conv)[0]}"

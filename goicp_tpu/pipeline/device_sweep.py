@@ -77,30 +77,51 @@ def run_sweep_device_batch(data_root: str, cfg: GoICPConfig, out_dir: str,
     if not runnable:
         return []
 
-    # ---- phase 2 (host): shared shape bucket over the whole sweep ----
-    dims: dict[str, int] = {}
+    # ---- phase 2 (host): SHAPE BUCKETS over the sweep (round 5): pairs
+    # grouped by their own kernel dims (plan_buckets) instead of one
+    # pool-max bucket — the hot kernels are volume-bound on the
+    # (pad_cells x pad_data) work tile, and pool-max padding measured 1.8x
+    # mean wasted volume; trajectories are padding-invariant so results
+    # are identical (tests/test_bucketing.py, tools/bucket_study.py) ----
+    from goicp_tpu.pipeline.prepare import plan_buckets
+    dims_list = []
     for _, _, _, inputs, n_ds, _ in runnable:
         nd = min(n_ds, len(inputs.src_n)) if n_ds > 0 else len(inputs.src_n)
-        d = bucket_dims(inputs.tgt_n, nd, len(inputs.tgt_n), cfg)
-        dims = {key: max(dims.get(key, 0), v) for key, v in d.items()}
+        dims_list.append(bucket_dims(inputs.tgt_n, nd,
+                                     len(inputs.tgt_n), cfg))
+    plan = plan_buckets(dims_list, max_buckets=3)
 
-    prepared = []
-    for k, src, tgt, inputs, n_ds, out_file in runnable:
-        pair = prepare_pair(inputs.src_n, inputs.tgt_n, inputs.src_props,
-                            inputs.tgt_props, cfg, inputs.src_fpfh,
-                            inputs.tgt_fpfh, nd_downsampled=n_ds, **dims)
-        prepared.append(make_count_dynamic(pair))
+    prepared_all: list = [None] * len(runnable)
+    for bd, idxs in plan:
+        for i in idxs:
+            k, src, tgt, inputs, n_ds, out_file = runnable[i]
+            pair = prepare_pair(inputs.src_n, inputs.tgt_n, inputs.src_props,
+                                inputs.tgt_props, cfg, inputs.src_fpfh,
+                                inputs.tgt_fpfh, nd_downsampled=n_ds, **bd)
+            prepared_all[i] = make_count_dynamic(pair)
+    # bucket-contiguous execution order (each bucket shares one compiled
+    # program; pair ids ride in the JSONL rows, so order is free)
+    exec_order = [i for _, idxs in plan for i in idxs]
+    bucket_of = {i: bi for bi, (_, idxs) in enumerate(plan) for i in idxs}
 
-    # ---- phase 3 (device): chunks of batch_size, convergence-compacted
-    # chunked execution (hard pairs finish at small batch widths instead of
-    # dragging the whole batch; tail chunks pad with pre-converged rows so
-    # the same-bucket compilation is reused without duplicate work) ----
+    # ---- phase 3 (device): per-bucket chunks of batch_size,
+    # convergence-compacted chunked execution (hard pairs finish at small
+    # batch widths instead of dragging the whole batch; tail chunks pad
+    # with pre-converged rows so the same-bucket compilation is reused
+    # without duplicate work) ----
     from goicp_tpu.search.chunked import register_device_batch_compact
     from goicp_tpu.search.fused_stream import register_fused_stream
     results = []
-    for lo in range(0, len(prepared), batch_size):
-        chunk = prepared[lo:lo + batch_size]
-        rows = runnable[lo:lo + batch_size]
+    chunks = []
+    bucket_first = []        # per chunk: first chunk of its bucket?
+    for bi in range(len(plan)):
+        b_idxs = [i for i in exec_order if bucket_of[i] == bi]
+        for lo in range(0, len(b_idxs), batch_size):
+            chunks.append(b_idxs[lo:lo + batch_size])
+            bucket_first.append(lo == 0)
+    for chunk_no, chunk_idxs in enumerate(chunks):
+        chunk = [prepared_all[i] for i in chunk_idxs]
+        rows = [runnable[i] for i in chunk_idxs]
         n_real = len(chunk)
         t0 = time.time()
         if runner == "fused":
@@ -114,10 +135,13 @@ def run_sweep_device_batch(data_root: str, cfg: GoICPConfig, out_dir: str,
             out = register_fused_stream(chunk, cfg, width=fw,
                                         chunk_steps=512, mesh=mesh)
         else:
+            # ragged tail chunks pad with pre-converged rows so the
+            # bucket's full batch_size compilation is reused (a bucket's
+            # FIRST chunk compiles at its own width instead)
             out = register_device_batch_compact(
                 chunk, cfg, mesh=mesh,
-                pad_to=batch_size if n_real < batch_size and lo > 0
-                else None)
+                pad_to=batch_size if n_real < batch_size
+                and not bucket_first[chunk_no] else None)
         wall = time.time() - t0
         per_pair_s = wall / n_real
 

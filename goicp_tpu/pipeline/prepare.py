@@ -182,6 +182,51 @@ def bucket_dims(target: np.ndarray, nd: int, nm: int,
                 pad_model_to=ceil_to(nm, 32))
 
 
+def plan_buckets(dims_list: list[dict], max_buckets: int = 3,
+                 min_per_bucket: int = 4, lane: int = 128) -> list:
+    """Partition a pair pool into <= max_buckets SHAPE buckets so each
+    bucket's shared compiled program pays dims close to its own pairs'
+    needs instead of the pool max.
+
+    Why: the hot kernels' work tile is (pad_cells x ceil(pad_data, lane))
+    (bounds/pallas_eval.py) and bound evaluation is volume-bound on it
+    (PERF.md); one pool-wide bucket pads EVERY pair to the pool max —
+    measured 1.8x mean wasted kernel volume on the bench pool (2.7x on
+    the eval-heavy straggler pair).  Search trajectories are padding-
+    invariant (padded points carry zero weight/mask), so bucketing only
+    changes speed, never results.
+
+    dims_list: per-pair bucket_dims() dicts.  Returns [(bucket_dims,
+    indices)] where bucket_dims is the elementwise max over the bucket's
+    pairs: pairs are sorted by kernel volume and split into count-equal
+    contiguous groups (near-optimal for the volume sum and trivially
+    correct: every pair's dims <= its group's max).  Groups whose dims
+    collapse to the same values are merged."""
+    n = len(dims_list)
+
+    def ceil_to(x, m):
+        return int(-(-x // m) * m)
+
+    def vol(d):
+        return ceil_to(d["pad_data_to"], lane) * d["pad_cells"]
+
+    order = sorted(range(n), key=lambda i: (vol(dims_list[i]),
+                                            dims_list[i]["pad_model_to"]))
+    k = max(1, min(max_buckets, n // max(min_per_bucket, 1)))
+    out: list = []
+    for g in range(k):
+        idxs = order[g * n // k:(g + 1) * n // k]
+        if not idxs:
+            continue
+        bd = {key: max(dims_list[i][key] for i in idxs)
+              for key in dims_list[0]}
+        if out and out[-1][0] == bd:
+            out[-1][1].extend(idxs)
+        else:
+            out.append((bd, list(idxs)))
+    return out
+
+
 def prepare_pair(source: np.ndarray, target: np.ndarray,
                  source_props: np.ndarray, target_props: np.ndarray,
                  cfg: GoICPConfig,
