@@ -320,7 +320,10 @@ def main(out_path: str):
                                                  chunk_steps=FUSED_CHUNK))
                     for bp, idxs in buckets]
 
-        buckets = build_batch_buckets(cfg, BATCH)
+        # 4 buckets measured best on the 64-pair similar pool (best-of-2
+        # walls: 4 buckets 22.9 s vs 3 buckets 27.1 s vs single 34.5 s;
+        # trimmed showed no 4-vs-3 gain, so it stays at 3)
+        buckets = build_batch_buckets(cfg, BATCH, max_buckets=4)
         ordered_pairs = [None] * BATCH
         for bp, idxs in buckets:
             for j, i in enumerate(idxs):

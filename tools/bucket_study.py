@@ -33,6 +33,10 @@ def main():
     ap.add_argument("--n", type=int, default=64)
     ap.add_argument("--trimmed", action="store_true")
     ap.add_argument("--skip-single", action="store_true")
+    ap.add_argument("--set", action="append", default=[],
+                    help="cfg overrides key=val (applied after bench_shape)")
+    ap.add_argument("--chunk", type=int, default=None,
+                    help="chunk_steps override (default FUSED_CHUNK)")
     args = ap.parse_args()
 
     from goicp_tpu.bench.measure import (FUSED_CHUNK, FUSED_WIDTH,
@@ -48,6 +52,11 @@ def main():
     import jax
 
     cfg = bench_shape(GoICPConfig.from_file(f"{REF}/config.txt"))
+    for item in args.set:
+        k, v = item.split("=", 1)
+        cur = getattr(cfg, k)
+        cfg = dataclasses.replace(
+            cfg, **{k: float(v) if isinstance(cur, float) else int(v)})
     if args.trimmed:
         cfg = dataclasses.replace(cfg, trimFraction=TRIM_FRACTION,
                                   trans_capacity=256)
@@ -66,9 +75,11 @@ def main():
         return [make_count_dynamic(prepare_pair(*raw[i], cfg, **bd))
                 for i in idxs]
 
+    chunk_steps = args.chunk or FUSED_CHUNK
+
     def run(pairs):
         return register_fused_stream(pairs, cfg, width=FUSED_WIDTH,
-                                     chunk_steps=FUSED_CHUNK)
+                                     chunk_steps=chunk_steps)
 
     # ---- baseline: one pool-max bucket ----
     if not args.skip_single:

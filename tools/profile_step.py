@@ -72,6 +72,10 @@ def main():
           f"cells={pair.grid.cell_coords.shape[0]}")
 
     shapes = []
+    if ":" in which:                     # explicit "L:P:C" shape
+        L_, P_, C_ = (int(x) for x in which.split(":"))
+        shapes.append((which, L_, P_, C_))
+        which = ""
     if which in ("narrow", "both"):
         shapes.append(("narrow", 8, 8, 64))
     if which in ("wide", "both"):
