@@ -483,6 +483,33 @@ def load_stream_state(path: str):
     return state, rows_orig, dead, next_pair, done
 
 
+def migrate_row_capacity(row_state: dict, cfg: GoICPConfig,
+                         cfg2: GoICPConfig) -> dict:
+    """Pad one pair-row's in-flight translation frontiers from
+    cfg.trans_capacity to cfg2.trans_capacity (>=).  LOSSLESS: empty
+    slots are INF-lb tails, so the sorted-frontier invariant and every
+    bound are preserved — the search continues exactly as if the wider
+    frontier had simply never been filled past the old capacity, and
+    from here on capacity drops (the epsilon-band rework driver on
+    eval-heavy pairs; see the PERF.md capacity curve) become rarer.
+    Everything else in the row state is capacity-independent."""
+    C1, C2 = cfg.trans_capacity, cfg2.trans_capacity
+    assert C2 >= C1, "can only widen the frontier"
+    assert cfg2.trans_pop == cfg.trans_pop \
+        and cfg2.rot_batch == cfg.rot_batch \
+        and cfg2.device_rot_capacity == cfg.device_rot_capacity
+    pad = C2 - C1
+    if pad == 0:
+        return row_state
+    ist = dict(row_state["inner"])
+    ist["nodes"] = jnp.pad(ist["nodes"], ((0, 0), (0, pad), (0, 0)))
+    ist["lbs"] = jnp.pad(ist["lbs"], ((0, 0), (0, pad)),
+                         constant_values=np.inf)
+    if "cvals" in ist:
+        ist["cvals"] = jnp.pad(ist["cvals"], ((0, 0), (0, pad), (0, 0)))
+    return dict(row_state, inner=ist)
+
+
 def straggler_to_lane_sharded(pair, cfg: GoICPConfig, row_state: dict,
                               mesh):
     """Hand a lone in-flight straggler of a drained fused window to
@@ -557,7 +584,9 @@ def register_fused_stream(pairs, cfg: GoICPConfig, width: int = 8,
                           resume: bool = False,
                           max_chunks: int | None = None,
                           mesh=None, checkpoint_every: int = 1,
-                          eager: bool = False):
+                          eager: bool = False,
+                          escalate_capacity: int | None = None,
+                          escalate_after_chunks: int = 8):
     """Continuous-batching registration over the fused engine: a window of
     `width` pairs advances in chunks of `chunk_steps` GLOBAL iterations;
     converged pairs retire at chunk boundaries and fresh pairs refill
@@ -589,7 +618,64 @@ def register_fused_stream(pairs, cfg: GoICPConfig, width: int = 8,
     ~26 ms host dispatch floor + refill transfers, which exceeds the
     masked idle volume it reclaims); revisit on locally-attached chips.
 
+    escalate_capacity: frontier-capacity ESCALATION for eval-heavy
+    stragglers — a row still in flight after escalate_after_chunks
+    chunks is evicted from the window (its state losslessly migrated to
+    trans_capacity=escalate_capacity, see migrate_row_capacity), the
+    row refills with a fresh pair, and the evicted pairs finish in a
+    deferred width-2 hard phase at the deeper capacity.  Motivation:
+    cap 256 is -13% wall / -20% evals on BO1 pair 2 but LOSES on easy
+    pairs (the wider merge every iteration; PERF.md capacity curve) —
+    escalation buys the deep frontier only where the evidence (chunks
+    survived) says it pays.  Results remain epsilon-optimal (reported
+    per-pair gaps carry the same folded bounds); trajectories of
+    escalated pairs differ from the pure-cap run only AFTER migration.
+    Incompatible with checkpoint_path (the hard list is not
+    checkpointed) and with mesh.
+
     Returns DeviceResult with the batch axis in original pair order."""
+    escalate = None
+    if escalate_capacity is not None \
+            and escalate_capacity > cfg.trans_capacity:
+        if checkpoint_path is not None or mesh is not None:
+            raise ValueError("escalate_capacity is incompatible with "
+                             "checkpoint_path/mesh")
+        import dataclasses
+        cfg2 = dataclasses.replace(cfg, trans_capacity=escalate_capacity)
+
+        def run_hard(hard, stacked_all):
+            """[(orig_idx, row_state)] -> {orig_idx: DeviceResult} — the
+            deferred hard phase: groups of 2 migrated rows run to
+            convergence at the deep capacity (an odd tail row is
+            duplicated so one width-2 compilation serves every group)."""
+            fin2 = jax.jit(fused_finalize)
+            out = {}
+            for lo in range(0, len(hard), 2):
+                group = hard[lo:lo + 2]
+                idxs = [i for i, _ in group]
+                states = [migrate_row_capacity(rs, cfg, cfg2)
+                          for _, rs in group]
+                take = idxs if len(idxs) == 2 else idxs * 2
+                if len(states) == 1:
+                    states = states * 2
+                state2 = jax.tree_util.tree_map(
+                    lambda *xs: jnp.stack(xs), *states)
+                pair_b = jax.tree_util.tree_map(
+                    lambda x: x[jnp.asarray(take)], stacked_all)
+                while True:
+                    state2 = fused_run_chunk(pair_b, cfg2, state2,
+                                             np.int32(chunk_steps))
+                    fini = np.asarray(state2["converged"]) \
+                        | (np.asarray(state2["it"]) >= cfg.max_outer_steps)
+                    if fini.all():
+                        break
+                res = jax.device_get(fin2(state2))
+                for j, i in enumerate(idxs):
+                    out[i] = jax.tree_util.tree_map(lambda x: x[j], res)
+            return out
+
+        escalate = (escalate_after_chunks, run_hard)
+
     straggler_fn = None
     if mesh is not None and "search" in tuple(mesh.axis_names) \
             and mesh.shape["search"] > 1:
@@ -605,13 +691,14 @@ def register_fused_stream(pairs, cfg: GoICPConfig, width: int = 8,
                           finalize=fused_finalize,
                           inflight_fn=_fused_inflight_np,
                           checkpoint_every=checkpoint_every,
-                          straggler_fn=straggler_fn)
+                          straggler_fn=straggler_fn, escalate=escalate)
 
 
 def _stream_driver(pairs, cfg: GoICPConfig, width, chunk_steps, progress,
                    checkpoint_path, resume, max_chunks, mesh,
                    init_fn, run_chunk, finalize, inflight_fn=None,
-                   checkpoint_every: int = 1, straggler_fn=None):
+                   checkpoint_every: int = 1, straggler_fn=None,
+                   escalate=None):
     """Engine-generic continuous-batching host loop (window refill,
     checkpoint/resume, progress) shared by the fused and packed streams.
     init_fn(cfg) -> jitted batch init; run_chunk(pair_batch, cfg, state,
@@ -650,6 +737,11 @@ def _stream_driver(pairs, cfg: GoICPConfig, width, chunk_steps, progress,
     next_pair = n0
     done: dict[int, DeviceResult] = {}
     dead = [i >= n0 for i in range(width)]
+    # capacity escalation (see register_fused_stream): rows alive past
+    # escalate[0] chunks are harvested into `hard` and finished later by
+    # escalate[1] at the deeper capacity
+    row_age = [0] * width
+    hard: list = []
 
     if resume and checkpoint_path and os.path.exists(checkpoint_path):
         state, rows_orig, dead, next_pair, done = \
@@ -669,6 +761,19 @@ def _stream_driver(pairs, cfg: GoICPConfig, width, chunk_steps, progress,
         conv = np.asarray(state["converged"])
         its = np.asarray(state["it"])
         finished = conv | (its >= cfg.max_outer_steps)
+
+        evicted: list[int] = []
+        if escalate is not None:
+            for r in range(width):
+                if dead[r] or finished[r]:
+                    continue
+                row_age[r] += 1
+                if row_age[r] >= escalate[0]:
+                    # harvest the in-flight row BEFORE any refill scatters
+                    # over it; it finishes in the deferred hard phase
+                    hard.append((rows_orig[r], jax.tree_util.tree_map(
+                        lambda x: x[r], state)))
+                    evicted.append(r)
 
         # straggler handoff: the window has drained to ONE live pair and
         # no refills remain — hand its lanes to `search`-axis sharding
@@ -715,18 +820,21 @@ def _stream_driver(pairs, cfg: GoICPConfig, width, chunk_steps, progress,
                             for i in range(width)])
             rows_orig = list(idx)
             dead = [i >= n for i in range(width)]
+            row_age = [0] * width
             next_pair += n
             cur_pair = _take(stacked_all, idx)
             state = init_fn(cfg)(cur_pair)
         else:
             retired = [r for r in range(width)
-                       if finished[r] and not dead[r]]
+                       if (finished[r] or r in evicted) and not dead[r]]
             if retired:
-                res = jax.device_get(fin(state))
+                need_res = [r for r in retired if r not in evicted]
+                res = jax.device_get(fin(state)) if need_res else None
                 for r in retired:
-                    if rows_orig[r] not in done:
+                    if r not in evicted and rows_orig[r] not in done:
                         done[rows_orig[r]] = jax.tree_util.tree_map(
                             lambda x: x[r], res)
+                    row_age[r] = 0
                     if next_pair < B:
                         idx = np.asarray(
                             [next_pair if i == r else
@@ -745,6 +853,12 @@ def _stream_driver(pairs, cfg: GoICPConfig, width, chunk_steps, progress,
                         next_pair += 1
                     else:
                         dead[r] = True
+                        if r in evicted:
+                            # no refill left: silence the evicted row's
+                            # stale (unconverged) state so the chunk
+                            # while_loop stops advancing it
+                            state = dict(state, converged=state[
+                                "converged"].at[r].set(True))
 
         # the tail runs on EVERY path (incl. a whole-window retire+refill):
         # the on-disk checkpoint never lags the in-memory state by more
@@ -759,6 +873,10 @@ def _stream_driver(pairs, cfg: GoICPConfig, width, chunk_steps, progress,
                 f"max_chunks={max_chunks} reached with "
                 f"{B - len(done)} pairs unfinished (state checkpointed)")
 
+    if hard:
+        # deferred hard phase: evicted eval-heavy pairs finish at the
+        # escalated capacity (register_fused_stream.run_hard)
+        done.update(escalate[1](hard, stacked_all))
     rows = [done[i] for i in range(B)]
     out = DeviceResult(*(np.stack([np.asarray(getattr(r, f))
                                    for r in rows])

@@ -37,6 +37,10 @@ def main():
                     help="cfg overrides key=val (applied after bench_shape)")
     ap.add_argument("--chunk", type=int, default=None,
                     help="chunk_steps override (default FUSED_CHUNK)")
+    ap.add_argument("--escalate", type=int, default=None,
+                    help="escalate_capacity for eval-heavy rows")
+    ap.add_argument("--escalate-after", type=int, default=8,
+                    help="chunks a row must survive before escalation")
     args = ap.parse_args()
 
     from goicp_tpu.bench.measure import (FUSED_CHUNK, FUSED_WIDTH,
@@ -78,8 +82,10 @@ def main():
     chunk_steps = args.chunk or FUSED_CHUNK
 
     def run(pairs):
-        return register_fused_stream(pairs, cfg, width=FUSED_WIDTH,
-                                     chunk_steps=chunk_steps)
+        return register_fused_stream(
+            pairs, cfg, width=FUSED_WIDTH, chunk_steps=chunk_steps,
+            escalate_capacity=args.escalate,
+            escalate_after_chunks=args.escalate_after)
 
     # ---- baseline: one pool-max bucket ----
     if not args.skip_single:
